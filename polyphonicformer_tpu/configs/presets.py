@@ -1,0 +1,59 @@
+"""Preset experiment configs mirroring the reference's shipped leaf configs."""
+from __future__ import annotations
+
+import dataclasses
+
+from .config import (
+    DataConfig,
+    DepthLossConfig,
+    ExperimentConfig,
+    ModelConfig,
+    ScheduleConfig,
+)
+
+
+def image_r50_2x() -> ExperimentConfig:
+    """Image model, 24-epoch schedule.
+
+    reference: configs/polyphonic_image/poly_r50_cityscapes_2x.py
+    (8 GPUs x bs 1, AdamW lr 1e-4).
+    """
+    return ExperimentConfig(
+        model=ModelConfig(with_track=False),
+        data=DataConfig(ref_sample_mode="random", ref_seq_index=(), repeat_times=8,
+                        batch_size=8),
+        schedule=ScheduleConfig(lr=1e-4, total_epochs=24, lr_decay_epochs=(16, 22)),
+        work_dir="work_dirs/poly_r50_image_2x",
+    )
+
+
+def video_r50_1x() -> ExperimentConfig:
+    """Video model (2-frame training + tracking), 12-epoch schedule.
+
+    reference: configs/polyphonic_video/poly_r50_cityscapes_1x.py
+    (8 GPUs x bs 2, AdamW lr 2e-4, rpn depth loss weight 1.0).
+    """
+    model = ModelConfig(
+        with_track=True,
+        rpn_depth_loss=DepthLossConfig(loss_weight=1.0),
+    )
+    return ExperimentConfig(
+        model=model,
+        data=DataConfig(ref_sample_mode="random", ref_seq_index=(-2, -1, 1, 2),
+                        repeat_times=4, batch_size=16),
+        schedule=ScheduleConfig(lr=2e-4, total_epochs=12, lr_decay_epochs=(8, 11)),
+        work_dir="work_dirs/poly_r50_video_1x",
+    )
+
+
+PRESETS = {
+    "image_r50_2x": image_r50_2x,
+    "video_r50_1x": video_r50_1x,
+}
+
+
+def get_preset(name: str, **replacements) -> ExperimentConfig:
+    cfg = PRESETS[name]()
+    if replacements:
+        cfg = dataclasses.replace(cfg, **replacements)
+    return cfg

@@ -1,0 +1,92 @@
+"""PolyphonicFormer: full model forward (backbone -> FPN -> KernelHead ->
+3x KernelUpdateHead).
+
+reference top-level flow: /root/reference/polyphonic/polyphonic_former.py and
+/root/reference/polyphonic/kernel_update.py.  One forward returns the RPN
+(stage-0) outputs plus every refinement stage's outputs; training losses and
+inference post-processing are pure functions on top (train/losses.py,
+infer/panoptic.py), keeping the module itself side-effect free and trivially
+jittable.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..configs import ModelConfig
+from .fpn import FPN
+from .kernel_head import KernelHead, RPNOutput
+from .kernel_update_head import KernelUpdateHead, StageOutput
+from .resnet import ResNet
+from .track_head import TrackHead
+
+
+class ModelOutput(NamedTuple):
+    rpn: RPNOutput
+    stages: Tuple[StageOutput, ...]
+
+
+class PolyphonicFormer(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.backbone = ResNet(cfg.backbone, name="backbone")
+        self.neck = FPN(cfg.fpn_out_channels, name="neck")
+        self.rpn_head = KernelHead(
+            num_proposals=cfg.num_proposals,
+            num_thing_classes=cfg.num_thing_classes,
+            num_stuff_classes=cfg.num_stuff_classes,
+            channels=cfg.out_channels,
+            name="rpn_head",
+        )
+        self.mask_heads = [
+            KernelUpdateHead(
+                num_classes=cfg.num_classes,
+                channels=cfg.out_channels,
+                num_heads=cfg.num_heads,
+                feedforward_channels=cfg.feedforward_channels,
+                hard_mask_thr=cfg.hard_mask_thr,
+                name=f"mask_head_{i}",
+            )
+            for i in range(cfg.num_stages)
+        ]
+        if cfg.with_track:
+            self.track_head = TrackHead(cfg.track_head, name="track_head")
+
+    def extract_feat(self, img: jax.Array) -> Tuple[jax.Array, ...]:
+        """img: (B, H, W, 3) normalized. Returns FPN P2..P5 (NHWC)."""
+        feats = self.backbone(img)
+        return self.neck(feats)
+
+    def forward_heads(self, fpn_feats) -> ModelOutput:
+        rpn = self.rpn_head(fpn_feats)
+        proposal_feats = rpn.proposal_feats
+        mask_preds = rpn.mask_preds
+        depth_proposal = rpn.depth_proposal
+        stages = []
+        for head in self.mask_heads:
+            out = head(rpn.x_feats, proposal_feats, mask_preds,
+                       depth_proposal, rpn.depth_feats)
+            stages.append(out)
+            proposal_feats = out.obj_feats
+            mask_preds = out.mask_preds
+            depth_proposal = out.depth_kernels
+        return ModelOutput(rpn=rpn, stages=tuple(stages))
+
+    def __call__(self, img: jax.Array) -> ModelOutput:
+        fpn_feats = self.extract_feat(img)
+        return self.forward_heads(fpn_feats)
+
+    def forward_track_embeds(self, fpn_feats, masks: jax.Array,
+                             mask_valid: jax.Array) -> jax.Array:
+        """RoI-align track embeddings for (padded) instance masks.
+
+        masks: (B, M, H, W) binary masks at input resolution.
+        mask_valid: (B, M) validity.
+        Returns (B, M, embed_channels).
+        """
+        return self.track_head(fpn_feats, masks, mask_valid)

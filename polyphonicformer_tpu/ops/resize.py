@@ -1,0 +1,102 @@
+"""Resize ops with exact PyTorch interpolation semantics, expressed as dense
+matmuls so XLA maps them onto the MXU.
+
+The reference model's accuracy is sensitive to interpolation conventions
+(bilinear ``align_corners=False`` for masks/depth rescale, asymmetric
+``nearest`` for GT depth downsampling — see
+/root/reference/polyphonic/kernel_update_head.py:593-626 and
+/root/reference/polyphonic/polyphonic_former.py:91-94).  ``jax.image.resize``
+uses different boundary handling, so we build the interpolation operators
+explicitly:
+
+* bilinear: out = R_h @ x @ R_w^T where R are (out, in) row-stochastic
+  matrices derived from the half-pixel mapping src = (i + 0.5) * in/out - 0.5.
+  Dense matmul is both exact and fast on TPU (MXU) for the sizes used here.
+* nearest (PyTorch ``mode='nearest'``): src = floor(i * in/out), a gather.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def _bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) interpolation matrix, PyTorch align_corners=False."""
+    i = np.arange(out_size, dtype=np.float64)
+    src = (i + 0.5) * (in_size / out_size) - 0.5
+    x0 = np.floor(src)
+    lam = src - x0
+    x0c = np.clip(x0, 0, in_size - 1).astype(np.int64)
+    x1c = np.clip(x0 + 1, 0, in_size - 1).astype(np.int64)
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    np.add.at(mat, (rows, x0c), (1.0 - lam).astype(np.float32))
+    np.add.at(mat, (rows, x1c), lam.astype(np.float32))
+    return mat
+
+
+@functools.lru_cache(maxsize=64)
+def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
+    """PyTorch mode='nearest' index mapping (asymmetric, floor)."""
+    i = np.arange(out_size, dtype=np.float64)
+    src = np.floor(i * (in_size / out_size))
+    return np.clip(src, 0, in_size - 1).astype(np.int32)
+
+
+def resize_bilinear(x: jax.Array, out_hw: tuple, assume_hw_axes=(-2, -1)) -> jax.Array:
+    """Bilinear resize of the last two axes (..., H, W) with torch
+    align_corners=False semantics."""
+    del assume_hw_axes
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    *lead, in_h, in_w = x.shape
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    rh = jnp.asarray(_bilinear_matrix(in_h, out_h))  # (out_h, in_h)
+    rw = jnp.asarray(_bilinear_matrix(in_w, out_w))  # (out_w, in_w)
+    # (..., in_h, in_w) -> (..., out_h, in_w)
+    y = jnp.einsum("oh,...hw->...ow", rh, xf, precision=jax.lax.Precision.HIGHEST)
+    # -> (..., out_h, out_w)
+    y = jnp.einsum("pw,...ow->...op", rw, y, precision=jax.lax.Precision.HIGHEST)
+    return y.astype(dtype)
+
+
+def resize_bilinear_nhwc(x: jax.Array, out_hw: tuple) -> jax.Array:
+    """Bilinear resize for (B, H, W, C) layout."""
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    b, in_h, in_w, c = x.shape
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    rh = jnp.asarray(_bilinear_matrix(in_h, out_h))
+    rw = jnp.asarray(_bilinear_matrix(in_w, out_w))
+    y = jnp.einsum("oh,bhwc->bowc", rh, xf, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("pw,bowc->bopc", rw, y, precision=jax.lax.Precision.HIGHEST)
+    return y.astype(dtype)
+
+
+def resize_nearest(x: jax.Array, out_hw: tuple) -> jax.Array:
+    """Nearest resize of the last two axes with torch mode='nearest'
+    (asymmetric floor) semantics."""
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    *lead, in_h, in_w = x.shape
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    ih = jnp.asarray(_nearest_indices(in_h, out_h))
+    iw = jnp.asarray(_nearest_indices(in_w, out_w))
+    y = jnp.take(x, ih, axis=-2)
+    y = jnp.take(y, iw, axis=-1)
+    return y
+
+
+def upsample2x_nearest_nhwc(x: jax.Array) -> jax.Array:
+    """Fast 2x nearest upsample for NHWC (FPN top-down path)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)

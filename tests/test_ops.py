@@ -1,0 +1,115 @@
+"""Golden-value tests for core ops against torch/scipy oracles."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+from scipy.optimize import linear_sum_assignment
+
+import jax
+import jax.numpy as jnp
+
+from polyphonicformer_tpu.ops import (
+    depth_act,
+    match_gt_to_preds,
+    gt2pred_to_assignment,
+    resize_bilinear,
+    resize_nearest,
+    solve_lsa,
+)
+
+
+class TestResize:
+    @pytest.mark.parametrize("in_hw,out_hw", [
+        ((16, 32), (32, 64)),   # 2x up
+        ((32, 64), (16, 32)),   # 2x down
+        ((17, 33), (40, 21)),   # odd
+        ((8, 8), (256, 512)),   # large up
+    ])
+    def test_bilinear_matches_torch(self, in_hw, out_hw):
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 3, *in_hw).astype(np.float32)
+        want = F.interpolate(torch.from_numpy(x), size=out_hw, mode="bilinear",
+                             align_corners=False).numpy()
+        got = np.asarray(resize_bilinear(jnp.asarray(x), out_hw))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    @pytest.mark.parametrize("in_hw,out_hw", [
+        ((16, 32), (4, 8)),
+        ((17, 31), (5, 9)),
+        ((8, 8), (16, 24)),
+    ])
+    def test_nearest_matches_torch(self, in_hw, out_hw):
+        rng = np.random.RandomState(1)
+        x = rng.randn(1, 1, *in_hw).astype(np.float32)
+        want = F.interpolate(torch.from_numpy(x), size=out_hw, mode="nearest").numpy()
+        got = np.asarray(resize_nearest(jnp.asarray(x), out_hw))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestDepthAct:
+    def test_modes_match_reference_math(self):
+        x = np.linspace(-5, 5, 41).astype(np.float32)
+        tx = torch.from_numpy(x)
+        # sigmoid mode: disp * (max - min) + min
+        want = (torch.sigmoid(tx) * (80.0 - 0.01) + 0.01).numpy()
+        got = np.asarray(depth_act(jnp.asarray(x), "sigmoid"))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        # monodepth mode
+        disp = torch.sigmoid(tx)
+        scaled = 1.0 / 80 + (1.0 / 0.01 - 1.0 / 80) * disp
+        want = (1.0 / scaled).numpy()
+        got = np.asarray(depth_act(jnp.asarray(x), "monodepth"))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+class TestHungarian:
+    @pytest.mark.parametrize("n", [3, 10, 50, 100])
+    def test_square_optimal_cost(self, n):
+        rng = np.random.RandomState(n)
+        cost = rng.randn(n, n).astype(np.float32) * 10
+        rows, cols = linear_sum_assignment(cost)
+        want = cost[rows, cols].sum()
+        col4row = np.asarray(solve_lsa(jnp.asarray(cost)))
+        assert sorted(col4row.tolist()) == list(range(n)), "not a permutation"
+        got = cost[np.arange(n), col4row].sum()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    @pytest.mark.parametrize("num_gt,num_pred", [(1, 100), (7, 100), (60, 100), (100, 100)])
+    def test_rectangular_matches_scipy(self, num_gt, num_pred):
+        rng = np.random.RandomState(num_gt)
+        max_gt = 64 if num_gt <= 64 else 100
+        cost = rng.randn(max_gt, num_pred).astype(np.float32) * 5
+        valid = np.zeros(max_gt, bool)
+        valid[:num_gt] = True
+        # scipy solves preds x gts like the reference (assigner.py:511-517)
+        ref_cost = cost[:num_gt].T  # (P, G)
+        rows, cols = linear_sum_assignment(ref_cost)
+        want_total = ref_cost[rows, cols].sum()
+        gt2pred = np.asarray(match_gt_to_preds(jnp.asarray(cost), jnp.asarray(valid)))
+        assert (gt2pred[:num_gt] >= 0).all()
+        assert (gt2pred[num_gt:] == -1).all()
+        assert len(set(gt2pred[:num_gt].tolist())) == num_gt, "preds must be distinct"
+        got_total = cost[np.arange(num_gt), gt2pred[:num_gt]].sum()
+        np.testing.assert_allclose(got_total, want_total, rtol=1e-5, atol=1e-4)
+
+    def test_assignment_inversion(self):
+        gt2pred = jnp.asarray([5, 2, -1, 7])
+        pred2gt = np.asarray(gt2pred_to_assignment(gt2pred, 10))
+        want = -np.ones(10, np.int32)
+        want[5] = 0
+        want[2] = 1
+        want[7] = 3
+        np.testing.assert_array_equal(pred2gt, want)
+
+    def test_vmap(self):
+        rng = np.random.RandomState(0)
+        cost = rng.randn(4, 20, 30).astype(np.float32)
+        valid = np.ones((4, 20), bool)
+        out = jax.vmap(lambda c, v: match_gt_to_preds(c, v))(
+            jnp.asarray(cost), jnp.asarray(valid))
+        for b in range(4):
+            ref_cost = cost[b].T
+            rows, cols = linear_sum_assignment(ref_cost)
+            want_total = ref_cost[rows, cols].sum()
+            got_total = cost[b][np.arange(20), np.asarray(out[b])].sum()
+            np.testing.assert_allclose(got_total, want_total, rtol=1e-5, atol=1e-4)
