@@ -1,0 +1,160 @@
+"""Panoptic + depth fusion, fully vectorized (no data-dependent loops).
+
+reference: /root/reference/polyphonic/kernel_update.py:421-535.  The
+reference's greedy loop over score-sorted segments has NO cross-iteration
+data dependence (each candidate's keep decision uses only the global pixel
+argmax and its own areas), so the whole merge vectorizes:
+
+  keep_k   = score gate & area gates on (argmax == k) regions
+  seg_id_k = cumulative count of kept candidates in score order
+  panoptic = seg_id[argmax(pixel)] masked by keep
+  depth    = per-segment depth pasted over the dense initial depth
+
+This removes the per-segment ``.item()`` device syncs of the reference.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import ModelConfig
+from ..ops.depth import depth_act
+from ..ops.resize import resize_bilinear
+
+
+class PanopticResult(NamedTuple):
+    """Per-image fused outputs. Candidate arrays are ordered
+    [things(top-100), stuff(11, score-sorted)] like the reference."""
+
+    panoptic: jax.Array  # (H, W) int32 segment ids, 0 = void
+    semantic: jax.Array  # (H, W) int32 class ids, num_classes = void
+    depth: jax.Array  # (H, W) float32 final depth
+    depth_basic: jax.Array  # (H, W) float32 dense (initial) depth
+    keep: jax.Array  # (K,) bool kept candidates
+    seg_ids: jax.Array  # (K,) int32 segment id per candidate (valid if keep)
+    labels: jax.Array  # (K,) int32 class per candidate
+    scores: jax.Array  # (K,) float32
+    is_thing: jax.Array  # (K,) bool
+    instance_ids: jax.Array  # (K,) int32 candidate index (reference's k)
+    areas: jax.Array  # (K,) int32 argmax-region areas
+    masks: jax.Array  # (K, H, W) bool final segment masks (kept rows only)
+
+
+def fuse_panoptic(cfg: ModelConfig,
+                  cls_probs: jax.Array,
+                  mask_logits: jax.Array,
+                  depth_logits: jax.Array,
+                  depth_init_logits: jax.Array,
+                  out_hw: Tuple[int, int]) -> PanopticResult:
+    """Args (single image, final refinement stage, stride-8/4 resolution):
+      cls_probs: (111, C) sigmoid class probabilities.
+      mask_logits: (111, h, w) mask logits.
+      depth_logits: (111, h, w) raw per-query depth.
+      depth_init_logits: (h', w') dense depth logits.
+      out_hw: original image size (H, W).
+    """
+    nt = cfg.num_thing_classes
+    ns = cfg.num_stuff_classes
+    npp = cfg.num_proposals
+    h, w = out_hw
+
+    # --- thing candidates: flattened topk over (100 x 8) ----------------
+    thing_scores_all = cls_probs[:npp, :nt].reshape(-1)
+    k = cfg.max_per_img
+    scores_t, top_idx = jax.lax.top_k(thing_scores_all, k)
+    mask_idx = top_idx // nt
+    labels_t = (top_idx % nt).astype(jnp.int32)
+
+    # --- stuff candidates: class-diagonal scores, sorted descending ------
+    stuff_scores = jnp.diagonal(cls_probs[npp:, nt:])
+    order_s = jnp.argsort(-stuff_scores)
+    scores_s = stuff_scores[order_s]
+    labels_s = (order_s + nt).astype(jnp.int32)
+
+    cand_rows = jnp.concatenate([mask_idx, npp + order_s])  # (K,) rows in 111
+    scores = jnp.concatenate([scores_t, scores_s])
+    labels = jnp.concatenate([labels_t, labels_s])
+    kk = k + ns
+    is_thing = jnp.arange(kk) < k
+
+    # --- rescale gathered masks/depth to the output size -----------------
+    masks_small = jax.nn.sigmoid(mask_logits[cand_rows].astype(jnp.float32))
+    masks = resize_bilinear(masks_small, (h, w))
+    depth_small = depth_act(depth_logits[cand_rows].astype(jnp.float32),
+                            cfg.depth_act_mode)
+    depth_cand = resize_bilinear(depth_small, (h, w))
+    depth_basic = resize_bilinear(
+        depth_act(depth_init_logits.astype(jnp.float32), cfg.depth_act_mode)[None],
+        (h, w))[0]
+
+    # --- joint merge ------------------------------------------------------
+    prob_masks = scores[:, None, None] * masks
+    pix_arg = jnp.argmax(prob_masks, axis=0)  # (H, W) in [0, K)
+    onehot_area = jnp.zeros((kk,), jnp.int32).at[pix_arg.reshape(-1)].add(1)
+    mask_area = onehot_area
+    orig_area = (masks >= 0.5).sum(axis=(1, 2)).astype(jnp.int32)
+
+    score_ok = (~is_thing) | (scores >= cfg.instance_score_thr)
+    area_ok = (mask_area > 0) & (orig_area > 0)
+    ratio_ok = mask_area.astype(jnp.float32) >= (
+        cfg.overlap_thr * orig_area.astype(jnp.float32))
+    keep = score_ok & area_ok & ratio_ok
+
+    # segment ids assigned in descending score order
+    order = jnp.argsort(-scores)
+    keep_sorted = keep[order]
+    ids_sorted = jnp.cumsum(keep_sorted.astype(jnp.int32))
+    seg_ids = jnp.zeros((kk,), jnp.int32).at[order].set(ids_sorted)
+    seg_ids = jnp.where(keep, seg_ids, 0)
+
+    keep_at_pix = keep[pix_arg]
+    panoptic = jnp.where(keep_at_pix, seg_ids[pix_arg], 0)
+    semantic = jnp.where(keep_at_pix, labels[pix_arg],
+                         cfg.num_classes).astype(jnp.int32)
+    depth_pix = jnp.take_along_axis(
+        depth_cand.reshape(kk, -1), pix_arg.reshape(1, -1), axis=0)[0].reshape(h, w)
+    depth = jnp.where(keep_at_pix, depth_pix, depth_basic)
+
+    seg_masks = (pix_arg[None] == jnp.arange(kk)[:, None, None]) & keep[:, None, None]
+
+    return PanopticResult(
+        panoptic=panoptic.astype(jnp.int32),
+        semantic=semantic,
+        depth=depth,
+        depth_basic=depth_basic,
+        keep=keep,
+        seg_ids=seg_ids,
+        labels=labels,
+        scores=scores,
+        is_thing=is_thing,
+        instance_ids=jnp.arange(kk, dtype=jnp.int32),
+        areas=mask_area,
+        masks=seg_masks,
+    )
+
+
+def segments_info_host(res: PanopticResult, num_thing_classes: int):
+    """Host-side conversion of the candidate arrays into the reference's
+    ``segments_info`` list (kernel_update.py:519-533)."""
+    import numpy as np
+
+    keep = np.asarray(res.keep)
+    out = []
+    order = np.argsort(-np.asarray(res.scores), kind="stable")
+    for kidx in order:
+        if not keep[kidx]:
+            continue
+        entry = {
+            "id": int(res.seg_ids[kidx]),
+            "isthing": bool(res.is_thing[kidx]),
+            "category_id": int(res.labels[kidx]),
+        }
+        if entry["isthing"]:
+            entry["score"] = float(res.scores[kidx])
+            entry["instance_id"] = int(res.instance_ids[kidx])
+        else:
+            entry["area"] = int(res.areas[kidx])
+        out.append(entry)
+    return out

@@ -31,7 +31,7 @@ class SemanticFPNWrapper(nn.Module):
     feat_channels: int = 256
     out_channels: int = 256
     gn_groups: int = 32
-    pe_num_feats: int = 128
+    pe_num_feats: int = 0  # 0 -> feat_channels // 2 (=128 for the R50 config)
     num_aux_convs: int = 2
 
     @nn.compact
@@ -54,7 +54,7 @@ class SemanticFPNWrapper(nn.Module):
                          kernel_init=_NORMAL01)(t2)
         # level 3: PE + conv -> up -> conv -> up -> conv
         pe = sine_positional_encoding(p5.shape[1], p5.shape[2],
-                                      num_feats=self.pe_num_feats,
+                                      num_feats=self.pe_num_feats or c // 2,
                                       dtype=p5.dtype)
         t3 = p5 + pe[None]
         t3 = ConvNormAct(c, 3, gn_groups=g, name="lvl3_conv0",
