@@ -1,0 +1,66 @@
+"""Benchmark: end-to-end video-model frame inference (forward + panoptic/depth
+fusion + track embeddings + tracker update) at 1024x2048 on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is measured against an estimated 2.5 fps for the reference
+PyTorch pipeline on its original GPU setup (the repo publishes no throughput
+numbers — BASELINE.md; K-Net-family models with dense 1024x2048 heads run
+~2-5 fps on a V100-class GPU, and the reference adds depth + tracking on
+top).  This constant is revisited once a measured reference number exists.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_FPS_ESTIMATE = 2.5
+H, W = 1024, 2048
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from polyphonicformer_tpu.configs import ModelConfig
+    from polyphonicformer_tpu.infer.pipeline import make_video_step
+    from polyphonicformer_tpu.infer.tracker import init_tracker_state
+    from polyphonicformer_tpu.models import PolyphonicFormer
+
+    cfg = ModelConfig(with_track=True)
+    model = PolyphonicFormer(cfg)
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = model.init(rng, img)
+    state = init_tracker_state(cfg.tracker, cfg.track_head.embed_channels)
+
+    step = make_video_step(model, cfg, (H, W))
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, H, W, 3), jnp.float32)
+
+    # warmup / compile
+    fo, state = step(variables, x, state, jnp.int32(1))
+    jax.block_until_ready(fo.semantic)
+    fo, state = step(variables, x, state, jnp.int32(2))
+    jax.block_until_ready(fo.semantic)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        fo, state = step(variables, x, state, jnp.int32(3 + i))
+    jax.block_until_ready(fo.semantic)
+    dt = time.perf_counter() - t0
+    fps = iters / dt
+
+    print(json.dumps({
+        "metric": "video_frame_inference_fps_1024x2048_r50",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""Cityscapes-DVPS dataset: filesystem scan, sequence sampling, PNG decode.
+
+reference: /root/reference/datasets/cityscapes_dvps.py (filename triplets
+``{seq}_{img}_{location}_..._leftImg8bit.png`` with ``gtFine_instanceTrainIds``
+panoptic PNG and ``depth`` PNG; class remap thing-first via to_coco;
+ref-frame sampling modes random/img).
+"""
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+# thing-first class order (reference datasets/cityscapes_dvps.py:20-57)
+CLASSES = (
+    "road", "sidewalk", "building", "wall", "fence",
+    "pole", "traffic light", "traffic sign", "vegetation", "terrain",
+    "sky", "person", "rider", "car", "truck",
+    "bus", "train", "motorcycle", "bicycle",
+)
+THING_CLASSES = ("person", "rider", "car", "truck",
+                 "bus", "train", "motorcycle", "bicycle")
+STUFF_CLASSES = ("road", "sidewalk", "building", "wall", "fence",
+                 "pole", "traffic light", "traffic sign", "vegetation",
+                 "terrain", "sky")
+NUM_THING = len(THING_CLASSES)
+NUM_STUFF = len(STUFF_CLASSES)
+NO_OBJ = 32
+NO_OBJ_HB = 255
+DIVISOR_PAN = 1000
+INSTANCE_DIVISOR = 10000
+
+# trainId -> thing-first id remap
+_THING_MAP = {CLASSES.index(c): i for i, c in enumerate(THING_CLASSES)}
+_STUFF_MAP = {CLASSES.index(c): i + NUM_THING for i, c in enumerate(STUFF_CLASSES)}
+TRAINID_TO_COCO = {**_THING_MAP, **_STUFF_MAP}
+
+
+def to_coco(pan_map: np.ndarray, divisor: int) -> np.ndarray:
+    """Remap trainId*1000+inst panoptic ids to thing-first ids * divisor + inst
+    (reference datasets/cityscapes_dvps.py:89-109)."""
+    pan_new = -np.ones_like(pan_map)
+    for idx in np.unique(pan_map):
+        if idx == NO_OBJ * DIVISOR_PAN:
+            pan_new[pan_map == idx] = NO_OBJ_HB * divisor
+        else:
+            cls_id = int(idx) // DIVISOR_PAN
+            inst_id = int(idx) % DIVISOR_PAN
+            pan_new[pan_map == idx] = TRAINID_TO_COCO[cls_id] * divisor + inst_id
+    assert (pan_new >= 0).all(), "unmapped panoptic id"
+    return pan_new
+
+
+def imread_rgb(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    assert img is not None, path
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def imread_unchanged(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    assert img is not None, path
+    return img
+
+
+def load_depth(path: str, max_depth: float = 80.0) -> np.ndarray:
+    """16-bit depth PNG / 256 -> meters, clamped (loading.py:170-175)."""
+    depth = imread_unchanged(path).astype(np.float32) / 256.0
+    depth[depth >= max_depth] = max_depth
+    return depth
+
+
+def load_panoptic(path: str, divisor: int = INSTANCE_DIVISOR) -> np.ndarray:
+    """instanceTrainIds PNG -> thing-first panoptic id map."""
+    ps = imread_unchanged(path).astype(np.int64)
+    return to_coco(ps, divisor)
+
+
+def decode_segments(pan: np.ndarray, divisor: int = INSTANCE_DIVISOR):
+    """Panoptic id map -> per-segment binary masks/labels/instance ids,
+    dropping the no-obj class (loading.py:196-254)."""
+    ids = np.unique(pan)
+    masks, labels, inst_ids = [], [], []
+    for pid in ids:
+        cls = int(pid) // divisor
+        if cls == NO_OBJ_HB:
+            continue
+        masks.append((pan == pid).astype(np.uint8))
+        labels.append(cls)
+        inst_ids.append(int(pid))
+    if not masks:
+        return (np.zeros((0,) + pan.shape, np.uint8),
+                np.zeros((0,), np.int64), np.zeros((0,), np.int64))
+    return np.stack(masks), np.asarray(labels), np.asarray(inst_ids)
+
+
+class CityscapesDVPSDataset:
+    """Sequence-aware index over the video_sequence directory layout."""
+
+    def __init__(self, data_root: str, split: str = "train",
+                 ref_sample_mode: str = "img",
+                 ref_seq_index: Sequence[int] = (),
+                 with_depth: bool = True,
+                 test_mode: bool = False):
+        self.data_root = os.path.expanduser(data_root)
+        seq_dir = os.path.join(self.data_root, "video_sequence", split)
+        assert os.path.exists(seq_dir), seq_dir
+        self.seq_dir = seq_dir
+        self.split = split
+        self.ref_sample_mode = ref_sample_mode
+        self.ref_seq_index = list(ref_seq_index)
+        self.with_depth = with_depth
+        self.test_mode = test_mode
+
+        names = sorted(f for f in os.listdir(seq_dir) if "leftImg8bit" in f)
+        images: List[Dict] = []
+        for name in names:
+            seq_id, img_id, location, _ = name.split("_", maxsplit=3)
+            full = os.path.join(seq_dir, name)
+            images.append(dict(
+                seq_id=int(seq_id),
+                img_id=int(img_id),
+                location=location,
+                img=full,
+                depth=full.replace("leftImg8bit", "depth") if with_depth else None,
+                ann=full.replace("leftImg8bit", "gtFine_instanceTrainIds"),
+            ))
+        self.by_key = {(im["seq_id"], im["img_id"]): im for im in images}
+        self.images = images
+
+        if ref_sample_mode == "img":
+            self.samples = [[im] for im in images]
+        elif ref_sample_mode == "random":
+            # key frame + one random ref offset resolved at fetch time
+            self.samples = [[im] for im in images]
+        else:
+            raise ValueError(ref_sample_mode)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def get_pair(self, idx: int, rng: Optional[random.Random] = None):
+        """Key frame + one ref frame (train 'random' mode). Returns None if
+        no valid ref exists (caller resamples)."""
+        rng = rng or random
+        key = self.samples[idx][0]
+        if not self.ref_seq_index:
+            return key, None
+        offset = rng.choice(self.ref_seq_index)
+        ref = self.by_key.get((key["seq_id"], key["img_id"] + offset))
+        if ref is None:
+            return None
+        return key, ref
+
+    def load_frame(self, info: Dict):
+        """Decode one frame's image + GT arrays."""
+        img = imread_rgb(info["img"])
+        pan = load_panoptic(info["ann"])
+        depth = load_depth(info["depth"]) if self.with_depth else None
+        masks, labels, inst_ids = decode_segments(pan)
+        return dict(img=img, pan=pan, depth=depth, masks=masks, labels=labels,
+                    inst_ids=inst_ids, seq_id=info["seq_id"], img_id=info["img_id"])

@@ -1,0 +1,141 @@
+"""Streaming inference: one jitted step per frame carrying tracker state.
+
+reference flow: /root/reference/polyphonic/apis/video_inference.py:8-37 and
+PolyphonicVideo.simple_test (polyphonic_former_video.py:327-451) — per frame:
+panoptic fusion, thing-segment RoIAlign embeddings, tracker matching, track
+id map.  Here the entire frame step (backbone -> fusion -> embeddings ->
+tracker update) is ONE compiled program; the tracker state is a pytree
+carried between calls, and the only host work is PNG decode and final
+array readout.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import ModelConfig
+from ..models.polyphonic import PolyphonicFormer
+from ..ops.resize import resize_bilinear
+from .panoptic import PanopticResult, fuse_panoptic
+from .tracker import TrackerState, init_tracker_state, tracker_step
+
+
+class FrameOutput(NamedTuple):
+    semantic: jax.Array  # (H, W) int32
+    track_map: jax.Array  # (H, W) int32 (0 = no instance)
+    depth: jax.Array  # (H, W) float32
+    depth_basic: jax.Array  # (H, W) float32
+    panoptic: jax.Array  # (H, W) int32 segment ids
+    pano: PanopticResult
+
+
+def _mask_tight_boxes(masks: jax.Array) -> jax.Array:
+    """Exact min/max boxes (reference tensor_mask2box, funcs/utils.py:12-22).
+
+    NOTE the reference's coords are (row, col) = nonzero order, so its
+    "boxes" are (y1, x1, y2, x2); they are only used as tracker bbox state
+    and for IoU tests, which are coordinate-order invariant."""
+    m, h, w = masks.shape
+    any_x = masks.any(axis=1)  # (M, W)
+    any_y = masks.any(axis=2)  # (M, H)
+    xs = jnp.arange(w)
+    ys = jnp.arange(h)
+    big = jnp.int32(1 << 30)
+    x1 = jnp.min(jnp.where(any_x, xs, big), axis=1)
+    x2 = jnp.max(jnp.where(any_x, xs, -1), axis=1)
+    y1 = jnp.min(jnp.where(any_y, ys, big), axis=1)
+    y2 = jnp.max(jnp.where(any_y, ys, -1), axis=1)
+    empty = ~any_x.any(axis=1)
+    box = jnp.stack([y1, x1, y2, x2], axis=1).astype(jnp.float32)
+    return jnp.where(empty[:, None], jnp.asarray([-1.0, -1.0, 10.0, 10.0]), box)
+
+
+def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
+                     image: jax.Array, tracker_state: TrackerState,
+                     frame_id: jax.Array, out_hw: Tuple[int, int]
+                     ) -> Tuple[FrameOutput, TrackerState]:
+    """image: (1, H, W, 3) normalized+padded. out_hw: original size."""
+    fpn = model.apply(variables, image, method=PolyphonicFormer.extract_feat)
+    out = model.apply(variables, fpn, method=PolyphonicFormer.forward_heads)
+    cls_probs = jax.nn.sigmoid(out.stages[-1].cls_score[0])
+    # final-stage mask/depth upsampled x2 to stride 4 (kernel_update.py:131-143)
+    mask_logits = resize_bilinear(
+        out.stages[-1].mask_preds[0],
+        (out.stages[-1].mask_preds.shape[-2] * 2,
+         out.stages[-1].mask_preds.shape[-1] * 2))
+    depth_logits = resize_bilinear(
+        out.stages[-1].depth_preds[0],
+        (out.stages[-1].depth_preds.shape[-2] * 2,
+         out.stages[-1].depth_preds.shape[-1] * 2))
+    depth_init = resize_bilinear(
+        out.rpn.depth_pred[0:1],
+        (out.rpn.depth_pred.shape[-2] * 2, out.rpn.depth_pred.shape[-1] * 2))[0]
+
+    pano = fuse_panoptic(cfg, cls_probs, mask_logits, depth_logits,
+                         depth_init, out_hw)
+
+    # --- tracking over kept thing segments --------------------------------
+    d = cfg.tracker.max_detections
+    thing_keep = pano.keep & pano.is_thing  # (K,)
+    det_valid = thing_keep[:d]
+    det_masks = pano.masks[:d].astype(jnp.float32)  # (D, H, W)
+    det_scores = pano.scores[:d]
+    det_labels = pano.labels[:d]
+    boxes_yx = _mask_tight_boxes(det_masks > 0)
+    det_boxes = jnp.concatenate(
+        [jnp.maximum(boxes_yx, 0.0), det_scores[:, None]], axis=1)
+
+    embeds = model.apply(variables, fpn, det_masks[None], det_valid[None],
+                         method=PolyphonicFormer.forward_track_embeds)[0]
+
+    new_state, ids_sorted, order, kept_sorted = tracker_step(
+        cfg.tracker, tracker_state, det_boxes, det_labels, embeds,
+        det_valid, frame_id)
+    # map sorted ids back to candidate order; reference: ids+1, -1/-2 -> 0
+    ids_by_det = jnp.zeros((d,), jnp.int32)
+    out_ids = jnp.where(kept_sorted & (ids_sorted >= 0), ids_sorted + 1, 0)
+    ids_by_det = ids_by_det.at[order].set(out_ids)
+
+    # per-pixel track id (candidates beyond D get 0)
+    kk = pano.instance_ids.shape[0]
+    cand_track_id = jnp.zeros((kk,), jnp.int32).at[:d].set(ids_by_det)
+    pix_arg = jnp.argmax(pano.scores[:, None, None] * (0 * pano.masks), axis=0)
+    del pix_arg  # recompute from panoptic instead: candidate at pixel
+    # pano.masks[k] is exactly the pixels argmax-assigned to k (kept only)
+    track_map = jnp.einsum("khw,k->hw", pano.masks.astype(jnp.int32),
+                           cand_track_id * thing_keep.astype(jnp.int32))
+
+    fo = FrameOutput(semantic=pano.semantic, track_map=track_map,
+                     depth=pano.depth, depth_basic=pano.depth_basic,
+                     panoptic=pano.panoptic, pano=pano)
+    return fo, new_state
+
+
+def make_video_step(model: PolyphonicFormer, cfg: ModelConfig, out_hw):
+    fn = functools.partial(video_frame_step, model, cfg, out_hw=tuple(out_hw))
+    return jax.jit(fn)
+
+
+def make_image_step(model: PolyphonicFormer, cfg: ModelConfig, out_hw):
+    """Image-mode inference: fusion only (reference Polyphonic.simple_test)."""
+
+    def step(variables, image):
+        fpn = model.apply(variables, image, method=PolyphonicFormer.extract_feat)
+        out = model.apply(variables, fpn, method=PolyphonicFormer.forward_heads)
+        cls_probs = jax.nn.sigmoid(out.stages[-1].cls_score[0])
+        s = out.stages[-1]
+        mask_logits = resize_bilinear(
+            s.mask_preds[0], (s.mask_preds.shape[-2] * 2, s.mask_preds.shape[-1] * 2))
+        depth_logits = resize_bilinear(
+            s.depth_preds[0], (s.depth_preds.shape[-2] * 2, s.depth_preds.shape[-1] * 2))
+        depth_init = resize_bilinear(
+            out.rpn.depth_pred[0:1],
+            (out.rpn.depth_pred.shape[-2] * 2, out.rpn.depth_pred.shape[-1] * 2))[0]
+        return fuse_panoptic(cfg, cls_probs, mask_logits, depth_logits,
+                             depth_init, tuple(out_hw))
+
+    return jax.jit(step)

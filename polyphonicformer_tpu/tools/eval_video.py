@@ -1,0 +1,96 @@
+"""Video (DVPS) evaluation CLI: streaming per-frame inference with tracking,
+then DVPQ over windows k in {1..4} x depth thresholds.
+
+reference: /root/reference/tools/test_video.py +
+polyphonic/apis/{video_inference,video_evaluate}.py.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-root", required=True)
+    ap.add_argument("--split", default="val")
+    ap.add_argument("--checkpoint", required=True, help="converted .pkl variables")
+    ap.add_argument("--eval-dir", default="work_dirs/video_eval")
+    ap.add_argument("--nproc", type=int, default=8)
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--skip-infer", action="store_true",
+                    help="only aggregate an existing eval dir")
+    args = ap.parse_args()
+
+    from ..evalutils.dvpq import evaluate_dvpq, save_frame
+
+    if not args.skip_infer:
+        run_inference(args)
+
+    results = evaluate_dvpq(args.eval_dir, nproc=args.nproc)
+    for key, val in results.items():
+        print(f"DVPQ[{key}] : {val['pq']:.3f} thing {val['pq_thing']:.3f} "
+              f"stuff {val['pq_stuff']:.3f}")
+    with open(os.path.join(args.eval_dir, "dvpq.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
+def run_inference(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ..configs import DataConfig, ModelConfig
+    from ..data.cityscapes_dvps import CityscapesDVPSDataset, INSTANCE_DIVISOR
+    from ..data.pipeline import make_test_input
+    from ..evalutils.dvpq import save_frame
+    from ..infer.pipeline import make_video_step
+    from ..infer.tracker import init_tracker_state
+    from ..models import PolyphonicFormer
+
+    cfg = ModelConfig(with_track=True)
+    dc = DataConfig()
+    model = PolyphonicFormer(cfg)
+    with open(args.checkpoint, "rb") as f:
+        variables = pickle.load(f)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    ds = CityscapesDVPSDataset(args.data_root, split=args.split,
+                               ref_sample_mode="img", with_depth=True)
+    frames = ds.images if args.max_frames is None else ds.images[:args.max_frames]
+
+    step = None
+    state = init_tracker_state(cfg.tracker, cfg.track_head.embed_channels)
+    prev_seq = None
+    frame_counter = 0
+    for info in frames:
+        frame = ds.load_frame(info)
+        inp = make_test_input(frame, dc)
+        if step is None:
+            step = make_video_step(model, cfg, inp["ori_hw"])
+        if info["seq_id"] != prev_seq:
+            # tracker reset at sequence start (video_inference.py:24-25)
+            state = init_tracker_state(cfg.tracker, cfg.track_head.embed_channels)
+            frame_counter = 1
+            prev_seq = info["seq_id"]
+        fo, state = step(variables, jnp.asarray(inp["image"])[None],
+                         state, jnp.int32(frame_counter))
+        frame_counter += 1
+
+        sem = np.asarray(fo.semantic).astype(np.int64)
+        track = np.asarray(fo.track_map).astype(np.int64)
+        depth = np.asarray(fo.depth)
+        pred_pan = sem * INSTANCE_DIVISOR + track
+        save_frame(args.eval_dir, "pred", info["seq_id"], info["img_id"],
+                   pred_pan, depth)
+        gt_pan = frame["pan"]
+        save_frame(args.eval_dir, "gt", info["seq_id"], info["img_id"],
+                   gt_pan, frame["depth"])
+        print(f"frame {info['seq_id']:06d}_{info['img_id']:06d} done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""The jitted SPMD train step.
+
+One program contains: forward, assignment (on-device Hungarian), targets,
+losses, backward, grad clip, AdamW — sharded over the (data,) mesh axis with
+params replicated.  XLA inserts the gradient all-reduces the reference got
+from NCCL DDP (SURVEY.md §2.4).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..configs import ExperimentConfig, ModelConfig
+from ..data.structures import TrainBatch
+from ..models.polyphonic import PolyphonicFormer
+from .losses import compute_losses
+from .optim import make_optimizer
+from .video_losses import video_forward_losses
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Dict
+    consts: Dict  # frozen BN statistics and other non-trainable collections
+    opt_state: optax.OptState
+
+
+def create_train_state(model: PolyphonicFormer, cfg: ExperimentConfig,
+                       rng: jax.Array, sample_image_shape,
+                       steps_per_epoch: int = 1000) -> Tuple[TrainState, optax.GradientTransformation]:
+    variables = model.init(rng, jnp.zeros(sample_image_shape, jnp.float32))
+    params = variables["params"]
+    consts = {k: v for k, v in variables.items() if k != "params"}
+    tx = make_optimizer(cfg.schedule, params, steps_per_epoch,
+                        cfg.model.frozen_stages)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       consts=consts, opt_state=tx.init(params))
+    return state, tx
+
+
+def make_train_step(model: PolyphonicFormer, cfg: ModelConfig,
+                    tx: optax.GradientTransformation,
+                    video: bool = False, donate: bool = True):
+    """Returns a jitted step(state, batch) -> (state, metrics)."""
+
+    def loss_fn(params, consts, batch: TrainBatch):
+        variables = {"params": params, **consts}
+        if video:
+            return video_forward_losses(model, variables, cfg, batch)
+        out = model.apply(variables, batch.image)
+        return compute_losses(cfg, out, batch.gt)
+
+    def step(state: TrainState, batch: TrainBatch):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.consts, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_train_step(model: PolyphonicFormer, cfg: ModelConfig,
+                            tx: optax.GradientTransformation, mesh: Mesh,
+                            video: bool = False):
+    """Train step with explicit shardings: batch split over 'data', state
+    replicated."""
+    step = make_train_step(model, cfg, tx, video=video, donate=False)
+    repl = NamedSharding(mesh, P())
+
+    def put(x):
+        if x is None:
+            return None
+        x = jnp.asarray(x)
+        spec = P(*(("data",) + (None,) * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def sharded_step(state: TrainState, batch: TrainBatch):
+        batch = jax.tree_util.tree_map(put, batch)
+        state = jax.device_put(state, repl)
+        return step(state, batch)
+
+    return sharded_step

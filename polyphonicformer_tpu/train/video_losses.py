@@ -1,0 +1,106 @@
+"""Video (2-frame) training: key-frame losses + quasi-dense track loss.
+
+reference: /root/reference/polyphonic/polyphonic_former_video.py:70-325.
+The reference runs the ref-frame branch under no_grad/eval and a Hungarian
+"track assignment" whose only effect is to ORDER the positive rows — the
+pooled features are GT masks (QuasiDenseMaskEmbedHeadGTMask) and both the
+multi-positive CE and the L2 aux loss are invariant to row/column
+permutations, so the assignment is mathematically a no-op for the loss.  We
+therefore index track rows directly by GT slot: row i of the key frame is
+key GT instance i (valid slots only), matching the reference's loss value
+without 2 extra Hungarian solves per step.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import ModelConfig
+from ..data.structures import GTSample, TrainBatch
+from ..losses.track import l2_aux_loss, multi_pos_cross_entropy
+from ..models.polyphonic import PolyphonicFormer
+from ..ops.resize import resize_bilinear
+from .losses import compute_losses
+
+
+def track_pair_losses(cfg: ModelConfig, key_embeds: jax.Array,
+                      ref_embeds: jax.Array, key_gt: GTSample,
+                      ref_gt: GTSample) -> Dict[str, jax.Array]:
+    """key_embeds/ref_embeds: (B, M, E) GT-mask embeddings (padded rows
+    zeroed).  Matching targets come from shared instance ids
+    (polyphonic_former_video.py:246-251, track_heads.py:104-121)."""
+    th = cfg.track_head
+
+    def per_image(ke, re, kids, kval, rids, rval):
+        dists = ke @ re.T  # (M, M) dot-product similarities
+        kn = ke / jnp.maximum(jnp.linalg.norm(ke, axis=1, keepdims=True), 1e-12)
+        rn = re / jnp.maximum(jnp.linalg.norm(re, axis=1, keepdims=True), 1e-12)
+        cos = kn @ rn.T
+        target = ((kids[:, None] == rids[None, :]) & (kids[:, None] >= 0)
+                  ).astype(jnp.int32)
+        pair_valid = kval[:, None] & rval[None, :]
+        loss_track = multi_pos_cross_entropy(dists, target, pair_valid, kval)
+        loss_aux = l2_aux_loss(cos, target, pair_valid,
+                               neg_pos_ub=th.aux_neg_pos_ub,
+                               pos_margin=th.aux_pos_margin,
+                               neg_margin=th.aux_neg_margin,
+                               hard_mining=th.aux_hard_mining)
+        return loss_track, loss_aux
+
+    lt, la = jax.vmap(per_image)(key_embeds, ref_embeds,
+                                 key_gt.thing_inst_ids, key_gt.thing_valid,
+                                 ref_gt.thing_inst_ids, ref_gt.thing_valid)
+    return {
+        "loss_track": th.loss_track_weight * lt.mean(),
+        "loss_track_aux": th.loss_aux_weight * la.mean(),
+    }
+
+
+def gt_track_masks(gt: GTSample, pad_hw: Tuple[int, int]) -> jax.Array:
+    """Upsample stride-4 GT thing masks to input resolution and binarize
+    (polyphonic_former_video.py:283-291: bilinear upsample then >0 via the
+    sigmoid(x) > 0.5 trick on mask values in [0,1])."""
+    up = resize_bilinear(gt.thing_masks, pad_hw)
+    return (up > 0).astype(jnp.float32)
+
+
+def video_forward_losses(model: PolyphonicFormer, variables, cfg: ModelConfig,
+                         batch: TrainBatch
+                         ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Full 2-frame training forward + loss (to be wrapped in value_and_grad).
+
+    The ref branch replicates the reference's no_grad/eval semantics: BN is
+    always frozen here, and gradients are cut with stop_gradient on the ref
+    outputs.
+    """
+    pad_hw = batch.image.shape[1:3]
+
+    def apply(method, *args):
+        return model.apply(variables, *args, method=method)
+
+    # key frame
+    key_feats = apply(PolyphonicFormer.extract_feat, batch.image)
+    key_out = apply(PolyphonicFormer.forward_heads, key_feats)
+    total, losses = compute_losses(cfg, key_out, batch.gt)
+
+    # ref frame features, gradient-free (polyphonic_former_video.py:186-191);
+    # the track head itself still receives gradients from the ref side
+    ref_feats = jax.tree_util.tree_map(
+        jax.lax.stop_gradient,
+        apply(PolyphonicFormer.extract_feat, batch.ref_image))
+
+    # track embeddings from GT masks
+    key_masks = gt_track_masks(batch.gt, pad_hw)
+    ref_masks = gt_track_masks(batch.ref_gt, pad_hw)
+    key_embeds = apply(PolyphonicFormer.forward_track_embeds, key_feats,
+                       key_masks, batch.gt.thing_valid)
+    ref_embeds = apply(PolyphonicFormer.forward_track_embeds, ref_feats,
+                       ref_masks, batch.ref_gt.thing_valid)
+
+    track_losses = track_pair_losses(cfg, key_embeds, ref_embeds,
+                                     batch.gt, batch.ref_gt)
+    losses.update(track_losses)
+    total = total + sum(track_losses.values())
+    return total, losses

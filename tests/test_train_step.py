@@ -1,0 +1,92 @@
+"""Train-step tests: loss decreases on a fixed synthetic batch; the sharded
+step runs on the simulated 8-device CPU mesh."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from polyphonicformer_tpu.configs import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    ScheduleConfig,
+)
+from polyphonicformer_tpu.data.loader import synthetic_batch
+from polyphonicformer_tpu.models import PolyphonicFormer
+from polyphonicformer_tpu.parallel.mesh import make_mesh
+from polyphonicformer_tpu.train.optim import is_frozen, lr_mult, make_lr_schedule
+from polyphonicformer_tpu.train.step import (
+    create_train_state,
+    make_sharded_train_step,
+    make_train_step,
+)
+
+TINY = ModelConfig(out_channels=64, in_channels=64, fpn_out_channels=64,
+                   feedforward_channels=128, num_proposals=20, max_things=8)
+H, W = 64, 128
+
+
+def test_lr_schedule_matches_reference_recipe():
+    sched = make_lr_schedule(ScheduleConfig(lr=1e-4), steps_per_epoch=100)
+    assert float(sched(0)) == pytest.approx(1e-4 * 1e-3, rel=1e-4)
+    assert float(sched(500)) == pytest.approx(1e-4 * (1 - 0.999 * 0.5), rel=1e-4)
+    assert float(sched(1000)) == pytest.approx(1e-4, rel=1e-4)
+    assert float(sched(1599)) == pytest.approx(1e-4, rel=1e-4)
+    assert float(sched(1600)) == pytest.approx(1e-5, rel=1e-4)
+    assert float(sched(2200)) == pytest.approx(1e-6, rel=1e-4)
+
+
+def test_frozen_and_lr_mult_classification():
+    assert is_frozen("backbone/conv1/kernel")
+    assert is_frozen("backbone/bn1/scale")
+    assert is_frozen("backbone/layer1_0/conv1/kernel")
+    assert not is_frozen("backbone/layer2_0/conv1/kernel")
+    assert not is_frozen("neck/lateral_0/kernel")
+    assert lr_mult("backbone/layer3_1/conv2/kernel", 0.25) == 0.25
+    assert lr_mult("rpn_head/init_kernels", 0.25) == 1.0
+    assert lr_mult("backbone/layer1_0/conv1/kernel", 0.25) == 0.0
+
+
+def test_train_step_decreases_loss():
+    cfg = ExperimentConfig(model=TINY, schedule=ScheduleConfig(
+        lr=5e-4, warmup_iters=1, warmup_ratio=1.0))
+    model = PolyphonicFormer(cfg.model)
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   (2, H, W, 3))
+    step = make_train_step(model, cfg.model, tx, donate=False)
+    batch = synthetic_batch(cfg.model, 2, hw=(H, W))
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+
+    first = None
+    prev_params = state.params
+    for i in range(8):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["total_loss"])
+    last = float(metrics["total_loss"])
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+    # frozen params unchanged
+    p0 = prev_params["backbone"]["conv1"]["kernel"]
+    p1 = state.params["backbone"]["conv1"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    # trainable backbone params changed
+    q0 = prev_params["backbone"]["layer2_0"]["conv1"]["kernel"]
+    q1 = state.params["backbone"]["layer2_0"]["conv1"]["kernel"]
+    assert np.abs(np.asarray(q0) - np.asarray(q1)).max() > 0
+
+
+def test_sharded_step_on_8_device_mesh():
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    cfg = ExperimentConfig(model=TINY)
+    model = PolyphonicFormer(cfg.model)
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   (8, H, W, 3))
+    mesh = make_mesh()
+    step = make_sharded_train_step(model, cfg.model, tx, mesh)
+    batch = synthetic_batch(cfg.model, 8, hw=(H, W))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["total_loss"]))
