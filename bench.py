@@ -20,9 +20,18 @@ REFERENCE_FPS_ESTIMATE = 2.5
 H, W = 1024, 2048
 
 
+def _enable_compile_cache() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from polyphonicformer_tpu.configs import ModelConfig
     from polyphonicformer_tpu.infer.pipeline import make_video_step
@@ -32,8 +41,8 @@ def main() -> None:
     cfg = ModelConfig(with_track=True)
     model = PolyphonicFormer(cfg)
     rng = jax.random.PRNGKey(0)
-    img = jnp.zeros((1, H, W, 3), jnp.float32)
-    variables = model.init(rng, img)
+    img = jnp.zeros((1, 64, 128, 3), jnp.float32)  # tiny init (shape-agnostic)
+    variables = model.init(rng, img, method=PolyphonicFormer.init_all)
     state = init_tracker_state(cfg.tracker, cfg.track_head.embed_channels)
 
     step = make_video_step(model, cfg, (H, W))
@@ -48,11 +57,15 @@ def main() -> None:
 
     iters = 10
     t0 = time.perf_counter()
+    checksum = 0
     for i in range(iters):
         fo, state = step(variables, x, state, jnp.int32(3 + i))
-    jax.block_until_ready(fo.semantic)
+        # force per-frame completion with a scalar readback; reading the full
+        # maps would benchmark the relay tunnel, not the chip
+        checksum += int(fo.semantic.sum())
     dt = time.perf_counter() - t0
     fps = iters / dt
+    del checksum
 
     print(json.dumps({
         "metric": "video_frame_inference_fps_1024x2048_r50",

@@ -24,6 +24,17 @@ def vpq_eval(pred_ids: np.ndarray, gt_ids: np.ndarray, num_classes: int = 19,
     """
     pred_ids = pred_ids.reshape(-1).astype(np.int64)
     gt_ids = gt_ids.reshape(-1).astype(np.int64)
+
+    # native C++ core when built (native/vpq_core.cpp); identical semantics
+    try:
+        from ..ops import native
+
+        res = native.vpq_stats(pred_ids, gt_ids, num_classes, max_ins, ign_id)
+        if res is not None:
+            return res
+    except Exception:
+        pass
+
     offset = int(1e9)
     num_cat = num_classes + 1
 

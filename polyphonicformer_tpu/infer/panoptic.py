@@ -92,8 +92,10 @@ def fuse_panoptic(cfg: ModelConfig,
     # --- joint merge ------------------------------------------------------
     prob_masks = scores[:, None, None] * masks
     pix_arg = jnp.argmax(prob_masks, axis=0)  # (H, W) in [0, K)
-    onehot_area = jnp.zeros((kk,), jnp.int32).at[pix_arg.reshape(-1)].add(1)
-    mask_area = onehot_area
+    # candidate-region indicator; per-candidate areas as a plain reduction
+    # (a scatter-add histogram serializes on TPU, this vectorizes)
+    region = pix_arg[None] == jnp.arange(kk, dtype=pix_arg.dtype)[:, None, None]
+    mask_area = region.sum(axis=(1, 2)).astype(jnp.int32)
     orig_area = (masks >= 0.5).sum(axis=(1, 2)).astype(jnp.int32)
 
     score_ok = (~is_thing) | (scores >= cfg.instance_score_thr)
@@ -113,11 +115,12 @@ def fuse_panoptic(cfg: ModelConfig,
     panoptic = jnp.where(keep_at_pix, seg_ids[pix_arg], 0)
     semantic = jnp.where(keep_at_pix, labels[pix_arg],
                          cfg.num_classes).astype(jnp.int32)
-    depth_pix = jnp.take_along_axis(
-        depth_cand.reshape(kk, -1), pix_arg.reshape(1, -1), axis=0)[0].reshape(h, w)
+    # per-pixel winning-candidate depth: contraction against the region
+    # indicator beats a strided (K, HW) gather on TPU
+    depth_pix = jnp.einsum("khw,khw->hw", region.astype(jnp.float32), depth_cand)
     depth = jnp.where(keep_at_pix, depth_pix, depth_basic)
 
-    seg_masks = (pix_arg[None] == jnp.arange(kk)[:, None, None]) & keep[:, None, None]
+    seg_masks = region & keep[:, None, None]
 
     return PanopticResult(
         panoptic=panoptic.astype(jnp.int32),

@@ -81,6 +81,18 @@ class PolyphonicFormer(nn.Module):
         fpn_feats = self.extract_feat(img)
         return self.forward_heads(fpn_feats)
 
+    def init_all(self, img: jax.Array) -> ModelOutput:
+        """Initialization entry point touching every submodule (including the
+        track head, which __call__ does not exercise)."""
+        fpn_feats = self.extract_feat(img)
+        out = self.forward_heads(fpn_feats)
+        if self.cfg.with_track:
+            b, h, w, _ = img.shape
+            masks = jnp.zeros((b, 1, h, w), img.dtype)
+            valid = jnp.zeros((b, 1), bool)
+            self.track_head(fpn_feats, masks, valid)
+        return out
+
     def forward_track_embeds(self, fpn_feats, masks: jax.Array,
                              mask_valid: jax.Array) -> jax.Array:
         """RoI-align track embeddings for (padded) instance masks.

@@ -35,7 +35,8 @@ class TrainState:
 def create_train_state(model: PolyphonicFormer, cfg: ExperimentConfig,
                        rng: jax.Array, sample_image_shape,
                        steps_per_epoch: int = 1000) -> Tuple[TrainState, optax.GradientTransformation]:
-    variables = model.init(rng, jnp.zeros(sample_image_shape, jnp.float32))
+    variables = model.init(rng, jnp.zeros(sample_image_shape, jnp.float32),
+                           method=PolyphonicFormer.init_all)
     params = variables["params"]
     consts = {k: v for k, v in variables.items() if k != "params"}
     tx = make_optimizer(cfg.schedule, params, steps_per_epoch,
