@@ -92,9 +92,11 @@ class KernelHead(nn.Module):
         x_feats = semantic_feats + loc_feats
 
         # query init: kernel weights + binary-mask-pooled image features
-        sigmoid_masks = (jax.nn.sigmoid(mask_preds_things) > self.hard_mask_thr
-                         ).astype(x_feats.dtype)
-        obj_feats = jnp.einsum("bnhw,bhwc->bnc", sigmoid_masks, x_feats)
+        # (fused Pallas threshold+matmul kernel)
+        from ..ops.pallas.mask_pool import masked_pool
+
+        obj_feats = masked_pool(mask_preds_things, x_feats,
+                                self.hard_mask_thr).astype(x_feats.dtype)
         proposal_feats = init_kernels[None] + obj_feats  # (B, 100, C)
 
         # concatenate the stuff kernels -> 111 queries

@@ -69,10 +69,12 @@ class KernelUpdateHead(nn.Module):
         x = nn.Conv(c, (1, 1), name="feat_transform")(x)
         depth_feats = nn.Conv(c, (1, 1), name="feat_depth_transform")(depth_feats)
 
-        # hard-mask pooling
-        sigmoid_masks = (jax.nn.sigmoid(mask_preds) > self.hard_mask_thr).astype(x.dtype)
-        x_feat = jnp.einsum("bnhw,bhwc->bnc", sigmoid_masks, x)
-        depth_feat_masked = jnp.einsum("bnhw,bhwc->bnc", sigmoid_masks, depth_feats)
+        # hard-mask pooling (fused Pallas kernel: threshold + matmul in VMEM)
+        from ..ops.pallas.mask_pool import masked_pool
+
+        x_feat = masked_pool(mask_preds, x, self.hard_mask_thr).astype(x.dtype)
+        depth_feat_masked = masked_pool(mask_preds, depth_feats,
+                                        self.hard_mask_thr).astype(x.dtype)
 
         # unified-query coupling: depth kernel sees the (detached) mask kernel
         depth_proposal = depth_proposal + jax.lax.stop_gradient(proposal_feat)
