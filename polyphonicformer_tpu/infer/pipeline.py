@@ -80,11 +80,21 @@ def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
 
     # --- tracking over kept thing segments --------------------------------
     d = cfg.tracker.max_detections
+    kk = pano.instance_ids.shape[0]
+    take = min(d, kk)
+
+    def to_d(arr, fill=0):
+        sliced = arr[:take]
+        if take == d:
+            return sliced
+        pad = [(0, d - take)] + [(0, 0)] * (arr.ndim - 1)
+        return jnp.pad(sliced, pad, constant_values=fill)
+
     thing_keep = pano.keep & pano.is_thing  # (K,)
-    det_valid = thing_keep[:d]
-    det_masks = pano.masks[:d].astype(jnp.float32)  # (D, H, W)
-    det_scores = pano.scores[:d]
-    det_labels = pano.labels[:d]
+    det_valid = to_d(thing_keep)
+    det_masks = to_d(pano.masks).astype(jnp.float32)  # (D, H, W)
+    det_scores = to_d(pano.scores)
+    det_labels = to_d(pano.labels)
     boxes_yx = _mask_tight_boxes(det_masks > 0)
     det_boxes = jnp.concatenate(
         [jnp.maximum(boxes_yx, 0.0), det_scores[:, None]], axis=1)
@@ -101,10 +111,7 @@ def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
     ids_by_det = ids_by_det.at[order].set(out_ids)
 
     # per-pixel track id (candidates beyond D get 0)
-    kk = pano.instance_ids.shape[0]
-    cand_track_id = jnp.zeros((kk,), jnp.int32).at[:d].set(ids_by_det)
-    pix_arg = jnp.argmax(pano.scores[:, None, None] * (0 * pano.masks), axis=0)
-    del pix_arg  # recompute from panoptic instead: candidate at pixel
+    cand_track_id = jnp.zeros((kk,), jnp.int32).at[:take].set(ids_by_det[:take])
     # pano.masks[k] is exactly the pixels argmax-assigned to k (kept only)
     track_map = jnp.einsum("khw,k->hw", pano.masks.astype(jnp.int32),
                            cand_track_id * thing_keep.astype(jnp.int32))

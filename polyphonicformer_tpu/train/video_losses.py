@@ -33,11 +33,14 @@ def track_pair_losses(cfg: ModelConfig, key_embeds: jax.Array,
     (polyphonic_former_video.py:246-251, track_heads.py:104-121)."""
     th = cfg.track_head
 
+    def _safe_normalize(e):
+        # padded rows are exactly zero; jnp.linalg.norm has a NaN gradient
+        # at 0, rsqrt(sumsq + eps) does not
+        return e * jax.lax.rsqrt(jnp.sum(e * e, axis=1, keepdims=True) + 1e-12)
+
     def per_image(ke, re, kids, kval, rids, rval):
         dists = ke @ re.T  # (M, M) dot-product similarities
-        kn = ke / jnp.maximum(jnp.linalg.norm(ke, axis=1, keepdims=True), 1e-12)
-        rn = re / jnp.maximum(jnp.linalg.norm(re, axis=1, keepdims=True), 1e-12)
-        cos = kn @ rn.T
+        cos = _safe_normalize(ke) @ _safe_normalize(re).T
         target = ((kids[:, None] == rids[None, :]) & (kids[:, None] >= 0)
                   ).astype(jnp.int32)
         pair_valid = kval[:, None] & rval[None, :]
