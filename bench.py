@@ -38,6 +38,8 @@ def main() -> None:
     from polyphonicformer_tpu.infer.tracker import init_tracker_state
     from polyphonicformer_tpu.models import PolyphonicFormer
 
+    import os
+
     cfg = ModelConfig(with_track=True)
     model = PolyphonicFormer(cfg)
     rng = jax.random.PRNGKey(0)
@@ -45,7 +47,8 @@ def main() -> None:
     variables = model.init(rng, img, method=PolyphonicFormer.init_all)
     state = init_tracker_state(cfg.tracker, cfg.track_head.embed_channels)
 
-    step = make_video_step(model, cfg, (H, W))
+    dtype = jnp.float32 if os.environ.get("POLY_BENCH_F32") == "1" else jnp.bfloat16
+    step = make_video_step(model, cfg, (H, W), compute_dtype=dtype)
 
     x = jax.random.normal(jax.random.PRNGKey(1), (1, H, W, 3), jnp.float32)
 

@@ -56,11 +56,26 @@ def _mask_tight_boxes(masks: jax.Array) -> jax.Array:
 
 def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
                      image: jax.Array, tracker_state: TrackerState,
-                     frame_id: jax.Array, out_hw: Tuple[int, int]
+                     frame_id: jax.Array, out_hw: Tuple[int, int],
+                     compute_dtype=jnp.float32
                      ) -> Tuple[FrameOutput, TrackerState]:
-    """image: (1, H, W, 3) normalized+padded. out_hw: original size."""
+    """image: (1, H, W, 3) normalized+padded. out_hw: original size.
+
+    compute_dtype=bfloat16 runs the network in bf16 (MXU-native serving
+    path); fusion and the tracker always run in f32.
+    """
+    if compute_dtype != jnp.float32:
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype)
+            if isinstance(a, jax.Array) and a.dtype == jnp.float32 else a,
+            variables)
+        image = image.astype(compute_dtype)
     fpn = model.apply(variables, image, method=PolyphonicFormer.extract_feat)
     out = model.apply(variables, fpn, method=PolyphonicFormer.forward_heads)
+    if compute_dtype != jnp.float32:
+        out = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if isinstance(a, jax.Array) and a.dtype == compute_dtype else a, out)
     cls_probs = jax.nn.sigmoid(out.stages[-1].cls_score[0])
     # final-stage mask/depth upsampled x2 to stride 4 (kernel_update.py:131-143)
     mask_logits = resize_bilinear(
@@ -99,8 +114,10 @@ def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
     det_boxes = jnp.concatenate(
         [jnp.maximum(boxes_yx, 0.0), det_scores[:, None]], axis=1)
 
-    embeds = model.apply(variables, fpn, det_masks[None], det_valid[None],
+    embeds = model.apply(variables, fpn,
+                         det_masks[None].astype(image.dtype), det_valid[None],
                          method=PolyphonicFormer.forward_track_embeds)[0]
+    embeds = embeds.astype(jnp.float32)
 
     new_state, ids_sorted, order, kept_sorted = tracker_step(
         cfg.tracker, tracker_state, det_boxes, det_labels, embeds,
@@ -122,9 +139,106 @@ def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
     return fo, new_state
 
 
-def make_video_step(model: PolyphonicFormer, cfg: ModelConfig, out_hw):
-    fn = functools.partial(video_frame_step, model, cfg, out_hw=tuple(out_hw))
+def make_video_step(model: PolyphonicFormer, cfg: ModelConfig, out_hw,
+                    compute_dtype=jnp.float32):
+    fn = functools.partial(video_frame_step, model, cfg, out_hw=tuple(out_hw),
+                           compute_dtype=compute_dtype)
     return jax.jit(fn)
+
+
+def batched_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
+                       images: jax.Array, tracker_states: TrackerState,
+                       frame_ids: jax.Array, out_hw: Tuple[int, int],
+                       compute_dtype=jnp.float32):
+    """Multi-clip serving: B frames from B independent sequences in one
+    program (BASELINE config #5).  tracker_states carries a batch axis.
+
+    Returns (FrameOutput batched, TrackerState batched).
+    """
+    if compute_dtype != jnp.float32:
+        cast_vars = jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype)
+            if isinstance(a, jax.Array) and a.dtype == jnp.float32 else a,
+            variables)
+        images_c = images.astype(compute_dtype)
+    else:
+        cast_vars = variables
+        images_c = images
+    fpn = model.apply(cast_vars, images_c, method=PolyphonicFormer.extract_feat)
+    out = model.apply(cast_vars, fpn, method=PolyphonicFormer.forward_heads)
+    out = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32) if isinstance(a, jax.Array)
+        and a.dtype != jnp.int32 and a.dtype != bool else a, out)
+
+    h8, w8 = out.stages[-1].mask_preds.shape[-2:]
+
+    def fuse_one(cls_logits, mask_p, depth_p, depth0):
+        cls_probs = jax.nn.sigmoid(cls_logits)
+        ml = resize_bilinear(mask_p, (h8 * 2, w8 * 2))
+        dl = resize_bilinear(depth_p, (h8 * 2, w8 * 2))
+        d0 = resize_bilinear(depth0[None], (h8 * 2, w8 * 2))[0]
+        return fuse_panoptic(cfg, cls_probs, ml, dl, d0, out_hw)
+
+    pano = jax.vmap(fuse_one)(out.stages[-1].cls_score,
+                              out.stages[-1].mask_preds,
+                              out.stages[-1].depth_preds,
+                              out.rpn.depth_pred)
+
+    d = cfg.tracker.max_detections
+    kk = pano.instance_ids.shape[1]
+    take = min(d, kk)
+
+    def to_d(arr, fill=0):
+        sliced = arr[:, :take]
+        if take == d:
+            return sliced
+        pad = [(0, 0), (0, d - take)] + [(0, 0)] * (arr.ndim - 2)
+        return jnp.pad(sliced, pad, constant_values=fill)
+
+    thing_keep = pano.keep & pano.is_thing
+    det_valid = to_d(thing_keep)
+    det_masks = to_d(pano.masks).astype(jnp.float32)
+    det_scores = to_d(pano.scores)
+    det_labels = to_d(pano.labels)
+    boxes_yx = jax.vmap(lambda m: _mask_tight_boxes(m > 0))(det_masks)
+    det_boxes = jnp.concatenate(
+        [jnp.maximum(boxes_yx, 0.0), det_scores[..., None]], axis=2)
+
+    embeds = model.apply(cast_vars, fpn, det_masks.astype(images_c.dtype),
+                         det_valid,
+                         method=PolyphonicFormer.forward_track_embeds)
+    embeds = embeds.astype(jnp.float32)
+
+    new_states, ids_sorted, order, kept_sorted = jax.vmap(
+        lambda s, b, l, e, v, f: tracker_step(cfg.tracker, s, b, l, e, v, f)
+    )(tracker_states, det_boxes, det_labels, embeds, det_valid, frame_ids)
+
+    def finish(ids_s, ord_, kept_s, cand_masks, keep_t):
+        out_ids = jnp.where(kept_s & (ids_s >= 0), ids_s + 1, 0)
+        ids_by_det = jnp.zeros((d,), jnp.int32).at[ord_].set(out_ids)
+        cand_track_id = jnp.zeros((kk,), jnp.int32).at[:take].set(ids_by_det[:take])
+        return jnp.einsum("khw,k->hw", cand_masks.astype(jnp.int32),
+                          cand_track_id * keep_t.astype(jnp.int32))
+
+    track_map = jax.vmap(finish)(ids_sorted, order, kept_sorted, pano.masks,
+                                 thing_keep)
+    fo = FrameOutput(semantic=pano.semantic, track_map=track_map,
+                     depth=pano.depth, depth_basic=pano.depth_basic,
+                     panoptic=pano.panoptic, pano=pano)
+    return fo, new_states
+
+
+def make_batched_video_step(model: PolyphonicFormer, cfg: ModelConfig, out_hw,
+                            compute_dtype=jnp.float32):
+    fn = functools.partial(batched_video_step, model, cfg,
+                           out_hw=tuple(out_hw), compute_dtype=compute_dtype)
+    return jax.jit(fn)
+
+
+def init_batched_tracker_states(cfg: ModelConfig, batch: int) -> TrackerState:
+    one = init_tracker_state(cfg.tracker, cfg.track_head.embed_channels)
+    return jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (batch,) + a.shape), one)
 
 
 def make_image_step(model: PolyphonicFormer, cfg: ModelConfig, out_hw):

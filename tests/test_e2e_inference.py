@@ -82,3 +82,23 @@ def test_image_step_consistency(tiny_video_model):
         cand = np.nonzero(keep & (seg_ids == sid))[0]
         assert len(cand) == 1
         assert (sem[pan == sid] == labels[cand[0]]).all()
+
+
+def test_batched_video_step(tiny_video_model):
+    from polyphonicformer_tpu.infer.pipeline import (
+        init_batched_tracker_states,
+        make_batched_video_step,
+    )
+
+    cfg, model, variables = tiny_video_model
+    b = 3
+    step = make_batched_video_step(model, cfg, (H, W))
+    states = init_batched_tracker_states(cfg, b)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(b, H, W, 3), jnp.float32)
+    fo, states = step(variables, x, states, jnp.ones((b,), jnp.int32))
+    assert fo.semantic.shape == (b, H, W)
+    assert fo.track_map.shape == (b, H, W)
+    assert np.isfinite(np.asarray(fo.depth)).all()
+    # independent sequences: tracker ids are per-state
+    assert np.asarray(states.num_tracklets).shape == (b,)
