@@ -150,6 +150,10 @@ class ModelConfig:
     # static shape capacities (TPU-native)
     max_things: int = 64  # max GT thing instances per image after padding
 
+    # SemKITTI-DVPS mode: GT masks downsample with nearest instead of
+    # bilinear (reference polyphonic_former.py:77-80, semantic_kitti flag)
+    semantic_kitti: bool = False
+
     # numerics
     compute_dtype: str = "float32"  # 'bfloat16' for inference/serving
 

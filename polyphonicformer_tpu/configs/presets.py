@@ -46,9 +46,21 @@ def video_r50_1x() -> ExperimentConfig:
     )
 
 
+def video_r50_semkitti_1x() -> ExperimentConfig:
+    """SemKITTI-DVPS video model (reference's semantic_kitti mode: nearest GT
+    downsampling; the dataset shares the video_sequence layout)."""
+    cfg = video_r50_1x()
+    model = dataclasses.replace(cfg.model, semantic_kitti=True)
+    data = dataclasses.replace(cfg.data, data_root="data/semkitti-dvps",
+                               img_size=(384, 1248), ratio_range=(1.0, 2.0))
+    return dataclasses.replace(cfg, model=model, data=data,
+                               work_dir="work_dirs/poly_r50_semkitti_1x")
+
+
 PRESETS = {
     "image_r50_2x": image_r50_2x,
     "video_r50_1x": video_r50_1x,
+    "video_r50_semkitti_1x": video_r50_semkitti_1x,
 }
 
 

@@ -121,7 +121,13 @@ def frame_to_sample(frame: Dict, model_cfg: ModelConfig, pad_hw: Tuple[int, int]
     masks = frame["masks"]
     small = np.zeros((len(masks), ah, aw), np.float32)
     for i, m in enumerate(masks):
-        small[i] = _downsample_mask_bilinear(pad_to(m, ph, pw), ah, aw)
+        padded = pad_to(m, ph, pw)
+        if model_cfg.semantic_kitti:
+            # SemKITTI mode: nearest GT downsample (polyphonic_former.py:77-80)
+            small[i] = _downsample_nearest_torch(padded.astype(np.float32),
+                                                 ah, aw)
+        else:
+            small[i] = _downsample_mask_bilinear(padded, ah, aw)
 
     is_thing = labels < nt
     thing_small = small[is_thing]

@@ -67,6 +67,35 @@ def dice_cost(mask_logits: jax.Array, gt_masks: jax.Array,
     return -(2 * a) / (b[:, None] + c[None, :])
 
 
+def depth_match_cost(depth_logits: jax.Array, gt_depth: jax.Array,
+                     gt_masks: jax.Array, depth_act_mode: str = "sigmoid",
+                     eps: float = 1e-5) -> jax.Array:
+    """reference DepthCost/DepthMatchLoss (assigner.py:16-80): per (pred, gt)
+    pair, 3-term depth error over the gt-mask region.  Shipped configs use
+    weight 0; implemented for capability parity and ablations.
+
+    depth_logits: (P, h, w) raw; gt_depth: (h, w); gt_masks: (M, h, w).
+    Returns (P, M).
+    """
+    from ..ops.depth import depth_act
+
+    pred = depth_act(depth_logits.astype(jnp.float32), depth_act_mode)
+    tgt = gt_depth[None] * gt_masks  # (M, h, w)
+    valid = (tgt > 0).astype(jnp.float32)  # (M, h, w)
+    n_valid = jnp.maximum(valid.sum(axis=(1, 2)), 1e-3)  # (M,)
+    # masked inputs/targets per pair, + eps as in the reference
+    pi = pred[:, None] * valid[None] + eps  # (P, M, h, w)
+    ti = tgt[None] + eps
+    log_minus = jnp.log(pi) - jnp.log(ti)
+    minus = pi - ti
+    si = (jnp.square(log_minus).sum((-1, -2)) / n_valid
+          - log_minus.sum((-1, -2)) / jnp.square(n_valid))
+    sq_rel = jnp.sqrt(jnp.maximum(
+        jnp.square(minus / ti).sum((-1, -2)) / n_valid, 1e-20))
+    abs_rel = jnp.abs(minus / ti).sum((-1, -2)) / n_valid
+    return si + sq_rel + abs_rel
+
+
 class AssignResult(NamedTuple):
     pred2gt: jax.Array  # (P,) int32, index into thing slots, -1 = background
     gt2pred: jax.Array  # (M,) int32, -1 = invalid gt
@@ -76,7 +105,9 @@ def assign_masks(cfg: AssignerConfig,
                  mask_logits: jax.Array,
                  cls_logits: Optional[jax.Array],
                  gt: GTSample,
-                 use_valid_pixels: bool = True) -> AssignResult:
+                 use_valid_pixels: bool = True,
+                 depth_logits: Optional[jax.Array] = None,
+                 depth_act_mode: str = "sigmoid") -> AssignResult:
     """Per-image Hungarian assignment of thing GTs to prediction rows.
 
     mask_logits: (P, h, w) detached mask logits (stride-4 scaled, like the
@@ -88,6 +119,9 @@ def assign_masks(cfg: AssignerConfig,
     if cls_logits is not None and cfg.cls_weight != 0:
         cost = cost + cfg.cls_weight * focal_cls_cost(
             cls_logits, gt.thing_labels, cfg.focal_gamma, cfg.focal_alpha)
+    if depth_logits is not None and cfg.depth_weight != 0:
+        cost = cost + cfg.depth_weight * depth_match_cost(
+            depth_logits, gt.depth, gt.thing_masks, depth_act_mode)
     # rows = gt, cols = preds
     gt2pred = match_gt_to_preds(cost.T, gt.thing_valid)
     pred2gt = gt2pred_to_assignment(gt2pred, mask_logits.shape[0])

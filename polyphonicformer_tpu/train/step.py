@@ -48,8 +48,15 @@ def create_train_state(model: PolyphonicFormer, cfg: ExperimentConfig,
 
 def make_train_step(model: PolyphonicFormer, cfg: ModelConfig,
                     tx: optax.GradientTransformation,
-                    video: bool = False, donate: bool = True):
-    """Returns a jitted step(state, batch) -> (state, metrics)."""
+                    video: bool = False, donate: bool = True,
+                    nan_guard: bool = True):
+    """Returns a jitted step(state, batch) -> (state, metrics).
+
+    nan_guard: skip the parameter update when the loss or grad norm is
+    non-finite and surface ``skipped_nonfinite`` in the metrics — the
+    distributed-correctness guard the reference left unregistered
+    (mmdet CheckInvalidLossHook, SURVEY.md §5.2).
+    """
 
     def loss_fn(params, consts, batch: TrainBatch):
         variables = {"params": params, **consts}
@@ -61,11 +68,21 @@ def make_train_step(model: PolyphonicFormer, cfg: ModelConfig,
     def step(state: TrainState, batch: TrainBatch):
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.consts, batch)
+        gnorm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
         metrics["total_loss"] = total
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = gnorm
+        if nan_guard:
+            ok = jnp.isfinite(total) & jnp.isfinite(gnorm)
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), params, state.params)
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old)
+                if isinstance(new, jax.Array) and new.shape == old.shape else new,
+                opt_state, state.opt_state)
+            metrics["skipped_nonfinite"] = (~ok).astype(jnp.float32)
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state)
         return new_state, metrics
