@@ -34,7 +34,22 @@ class PolyphonicFormer(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.backbone = ResNet(cfg.backbone, name="backbone")
+        if cfg.backbone.startswith("resnet"):
+            self.backbone = ResNet(cfg.backbone, name="backbone")
+        elif cfg.backbone.startswith("swin"):
+            from .swin import SwinTransformer
+
+            spec = {"swin_tiny": (96, (2, 2, 6, 2), (3, 6, 12, 24)),
+                    "swin_large": (192, (2, 2, 18, 2), (6, 12, 24, 48))}
+            dim, depths, heads = spec[cfg.backbone]
+            self.backbone = SwinTransformer(dim, depths, heads, name="backbone")
+        elif cfg.backbone.startswith("stdc"):
+            from .stdc import STDCNet
+
+            layers = (2, 2, 2) if cfg.backbone == "stdc813" else (4, 5, 3)
+            self.backbone = STDCNet(layers=layers, name="backbone")
+        else:
+            raise ValueError(f"unknown backbone {cfg.backbone}")
         self.neck = FPN(cfg.fpn_out_channels, name="neck")
         self.rpn_head = KernelHead(
             num_proposals=cfg.num_proposals,

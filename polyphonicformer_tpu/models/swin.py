@@ -1,0 +1,188 @@
+"""Swin Transformer backbone (tiny -> large), TPU-native flax.
+
+Provides the scaled backbone for the Swin-L serving configuration
+(BASELINE.json config #5).  Standard Swin v1: 4x4 patch embed, 7x7 window
+attention with relative position bias, alternating shifted windows, patch
+merging between stages; returns 4 feature levels (strides 4/8/16/32).
+
+Window partitioning uses static reshapes (inputs are padded to window
+multiples), and the shifted-window attention mask is precomputed per stage —
+no dynamic shapes anywhere, so the whole backbone is one XLA program.
+The ``model`` mesh axis can shard the MLP/attention projections for Swin-L
+multi-chip serving (logical axis annotations on the Dense kernels).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_XAVIER = nn.initializers.xavier_uniform()
+
+
+def window_partition(x: jax.Array, ws: int) -> jax.Array:
+    """(B, H, W, C) -> (B * nH * nW, ws*ws, C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def window_unpartition(x: jax.Array, ws: int, hw: Tuple[int, int]) -> jax.Array:
+    h, w = hw
+    b = x.shape[0] // ((h // ws) * (w // ws))
+    c = x.shape[-1]
+    x = x.reshape(b, h // ws, w // ws, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+def _relative_position_index(ws: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws),
+                                  indexing="ij")).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0) + (ws - 1)
+    return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
+
+
+def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """(num_windows, ws*ws, ws*ws) additive mask for shifted windows."""
+    img_mask = np.zeros((h, w), np.int32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img_mask[hs, wsl] = cnt
+            cnt += 1
+    m = img_mask.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3)
+    m = m.reshape(-1, ws * ws)
+    attn = (m[:, :, None] != m[:, None, :]) * -100.0
+    return attn.astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array | None) -> jax.Array:
+        """x: (nW, L, C) with L = ws*ws; mask: (num_win_types, L, L) or None."""
+        nw, l, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        qkv = nn.Dense(3 * c, name="qkv", kernel_init=_XAVIER)(x)
+        q, k, v = jnp.split(qkv.reshape(nw, l, 3, h, hd).transpose(2, 0, 3, 1, 4),
+                            3, axis=0)
+        q, k, v = q[0], k[0], v[0]  # (nW, h, L, hd)
+        attn = jnp.einsum("whqd,whkd->whqk", q, k) / np.sqrt(hd)
+
+        rpb_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window_size - 1) ** 2, h))
+        idx = jnp.asarray(_relative_position_index(self.window_size))
+        bias = rpb_table[idx.reshape(-1)].reshape(l, l, h).transpose(2, 0, 1)
+        attn = attn + bias[None]
+        if mask is not None:
+            ntypes = mask.shape[0]
+            attn = attn.reshape(nw // ntypes, ntypes, h, l, l) \
+                + mask[None, :, None]
+            attn = attn.reshape(nw, h, l, l)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("whqk,whkd->whqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(nw, l, c)
+        return nn.Dense(c, name="proj", kernel_init=_XAVIER)(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    shift: int = 0
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        ws = self.window_size
+        shortcut = x
+        y = nn.LayerNorm(name="norm1")(x)
+        # pad to window multiples (standard Swin behavior; cropped after)
+        hp = (h + ws - 1) // ws * ws
+        wp = (w + ws - 1) // ws * ws
+        if (hp, wp) != (h, w):
+            y = jnp.pad(y, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        if self.shift > 0:
+            y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, self.shift),
+                               dtype=x.dtype)
+        else:
+            mask = None
+        win = window_partition(y, ws)
+        win = WindowAttention(self.dim, self.num_heads, ws, name="attn")(win, mask)
+        y = window_unpartition(win, ws, (hp, wp))
+        if self.shift > 0:
+            y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
+        y = y[:, :h, :w]
+        x = shortcut + y
+        z = nn.LayerNorm(name="norm2")(x)
+        z = nn.Dense(int(c * self.mlp_ratio), name="mlp_fc1",
+                     kernel_init=_XAVIER)(z)
+        z = nn.gelu(z)
+        z = nn.Dense(c, name="mlp_fc2", kernel_init=_XAVIER)(z)
+        return x + z
+
+
+class PatchMerging(nn.Module):
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        if h % 2 or w % 2:
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+            b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, h // 2, w // 2, 4 * c)
+        x = nn.LayerNorm(name="norm")(x)
+        return nn.Dense(self.out_dim, use_bias=False, name="reduction",
+                        kernel_init=_XAVIER)(x)
+
+
+class SwinTransformer(nn.Module):
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 7
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, ...]:
+        """x: (B, H, W, 3), H/W divisible by 4*window_size*8. Returns 4
+        levels at strides 4/8/16/32 (LayerNorm'd, like mmdet's out_norm)."""
+        x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4),
+                    name="patch_embed")(x)
+        x = nn.LayerNorm(name="patch_norm")(x)
+        outs = []
+        dim = self.embed_dim
+        for stage, depth in enumerate(self.depths):
+            for blk in range(depth):
+                x = SwinBlock(dim, self.num_heads[stage],
+                              window_size=self.window_size,
+                              shift=0 if blk % 2 == 0 else self.window_size // 2,
+                              name=f"stage{stage}_block{blk}")(x)
+            outs.append(nn.LayerNorm(name=f"out_norm{stage}")(x))
+            if stage < len(self.depths) - 1:
+                dim *= 2
+                x = PatchMerging(dim, name=f"merge{stage}")(x)
+        return tuple(outs)
+
+
+def swin_tiny() -> SwinTransformer:
+    return SwinTransformer(96, (2, 2, 6, 2), (3, 6, 12, 24))
+
+
+def swin_large() -> SwinTransformer:
+    return SwinTransformer(192, (2, 2, 18, 2), (6, 12, 24, 48))

@@ -1,0 +1,45 @@
+"""Swin backbone tests: shapes, shifted-window masking, full-model drop-in."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from polyphonicformer_tpu.configs import ModelConfig
+from polyphonicformer_tpu.models import PolyphonicFormer
+from polyphonicformer_tpu.models.swin import (
+    SwinTransformer,
+    window_partition,
+    window_unpartition,
+)
+
+
+def test_window_partition_roundtrip():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 14, 28, 8).astype(np.float32))
+    w = window_partition(x, 7)
+    assert w.shape == (2 * 2 * 4, 49, 8)
+    back = window_unpartition(w, 7, (14, 28))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_swin_tiny_shapes():
+    model = SwinTransformer(32, (1, 1, 2, 1), (2, 4, 8, 16), window_size=7)
+    x = jnp.zeros((1, 64, 128, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    feats = jax.jit(lambda v, a: model.apply(v, a))(variables, x)
+    assert [f.shape for f in feats] == [
+        (1, 16, 32, 32), (1, 8, 16, 64), (1, 4, 8, 128), (1, 2, 4, 256)]
+    for f in feats:
+        assert np.isfinite(np.asarray(f)).all()
+
+
+def test_swin_backbone_in_full_model():
+    cfg = ModelConfig(backbone="swin_tiny", out_channels=64, in_channels=64,
+                      fpn_out_channels=64, feedforward_channels=128,
+                      num_proposals=10, max_things=4)
+    model = PolyphonicFormer(cfg)
+    img = jnp.zeros((1, 64, 128, 3))
+    variables = model.init(jax.random.PRNGKey(0), img)
+    out = model.apply(variables, img)
+    assert out.stages[-1].mask_preds.shape == (1, cfg.num_queries, 8, 16)
+    assert np.isfinite(np.asarray(out.stages[-1].cls_score)).all()
