@@ -48,7 +48,8 @@ def main() -> None:
     state = init_tracker_state(cfg.tracker, cfg.track_head.embed_channels)
 
     dtype = jnp.float32 if os.environ.get("POLY_BENCH_F32") == "1" else jnp.bfloat16
-    step = make_video_step(model, cfg, (H, W), compute_dtype=dtype)
+    step = make_video_step(model, cfg, (H, W), compute_dtype=dtype,
+                           fusion_dtype=dtype)
 
     x = jax.random.normal(jax.random.PRNGKey(1), (1, H, W, 3), jnp.float32)
 

@@ -57,10 +57,21 @@ def video_r50_semkitti_1x() -> ExperimentConfig:
                                work_dir="work_dirs/poly_r50_semkitti_1x")
 
 
+def video_swinl() -> ExperimentConfig:
+    """Swin-L video model for batched multi-clip serving on a v5e slice
+    (BASELINE.json config #5)."""
+    cfg = video_r50_1x()
+    model = dataclasses.replace(cfg.model, backbone="swin_large",
+                                compute_dtype="bfloat16")
+    return dataclasses.replace(cfg, model=model,
+                               work_dir="work_dirs/poly_swinl_video")
+
+
 PRESETS = {
     "image_r50_2x": image_r50_2x,
     "video_r50_1x": video_r50_1x,
     "video_r50_semkitti_1x": video_r50_semkitti_1x,
+    "video_swinl": video_swinl,
 }
 
 

@@ -47,13 +47,16 @@ def fuse_panoptic(cfg: ModelConfig,
                   mask_logits: jax.Array,
                   depth_logits: jax.Array,
                   depth_init_logits: jax.Array,
-                  out_hw: Tuple[int, int]) -> PanopticResult:
+                  out_hw: Tuple[int, int],
+                  fusion_dtype=jnp.float32) -> PanopticResult:
     """Args (single image, final refinement stage, stride-8/4 resolution):
       cls_probs: (111, C) sigmoid class probabilities.
       mask_logits: (111, h, w) mask logits.
       depth_logits: (111, h, w) raw per-query depth.
       depth_init_logits: (h', w') dense depth logits.
       out_hw: original image size (H, W).
+      fusion_dtype: bfloat16 halves the HBM traffic of the full-resolution
+        candidate stacks (serving fast path); float32 is reference-exact.
     """
     nt = cfg.num_thing_classes
     ns = cfg.num_stuff_classes
@@ -80,17 +83,18 @@ def fuse_panoptic(cfg: ModelConfig,
     is_thing = jnp.arange(kk) < k
 
     # --- rescale gathered masks/depth to the output size -----------------
-    masks_small = jax.nn.sigmoid(mask_logits[cand_rows].astype(jnp.float32))
-    masks = resize_bilinear(masks_small, (h, w))
-    depth_small = depth_act(depth_logits[cand_rows].astype(jnp.float32),
+    precise = fusion_dtype == jnp.float32
+    masks_small = jax.nn.sigmoid(mask_logits[cand_rows].astype(fusion_dtype))
+    masks = resize_bilinear(masks_small, (h, w), precise=precise)
+    depth_small = depth_act(depth_logits[cand_rows].astype(fusion_dtype),
                             cfg.depth_act_mode)
-    depth_cand = resize_bilinear(depth_small, (h, w))
+    depth_cand = resize_bilinear(depth_small, (h, w), precise=precise)
     depth_basic = resize_bilinear(
         depth_act(depth_init_logits.astype(jnp.float32), cfg.depth_act_mode)[None],
         (h, w))[0]
 
     # --- joint merge ------------------------------------------------------
-    prob_masks = scores[:, None, None] * masks
+    prob_masks = scores.astype(fusion_dtype)[:, None, None] * masks
     pix_arg = jnp.argmax(prob_masks, axis=0)  # (H, W) in [0, K)
     # candidate-region indicator; per-candidate areas as a plain reduction
     # (a scatter-add histogram serializes on TPU, this vectorizes)
@@ -117,7 +121,8 @@ def fuse_panoptic(cfg: ModelConfig,
                          cfg.num_classes).astype(jnp.int32)
     # per-pixel winning-candidate depth: contraction against the region
     # indicator beats a strided (K, HW) gather on TPU
-    depth_pix = jnp.einsum("khw,khw->hw", region.astype(jnp.float32), depth_cand)
+    depth_pix = jnp.einsum("khw,khw->hw", region.astype(fusion_dtype),
+                           depth_cand).astype(jnp.float32)
     depth = jnp.where(keep_at_pix, depth_pix, depth_basic)
 
     seg_masks = region & keep[:, None, None]

@@ -57,7 +57,7 @@ def _mask_tight_boxes(masks: jax.Array) -> jax.Array:
 def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
                      image: jax.Array, tracker_state: TrackerState,
                      frame_id: jax.Array, out_hw: Tuple[int, int],
-                     compute_dtype=jnp.float32
+                     compute_dtype=jnp.float32, fusion_dtype=jnp.float32
                      ) -> Tuple[FrameOutput, TrackerState]:
     """image: (1, H, W, 3) normalized+padded. out_hw: original size.
 
@@ -91,7 +91,7 @@ def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
         (out.rpn.depth_pred.shape[-2] * 2, out.rpn.depth_pred.shape[-1] * 2))[0]
 
     pano = fuse_panoptic(cfg, cls_probs, mask_logits, depth_logits,
-                         depth_init, out_hw)
+                         depth_init, out_hw, fusion_dtype=fusion_dtype)
 
     # --- tracking over kept thing segments --------------------------------
     d = cfg.tracker.max_detections
@@ -140,9 +140,10 @@ def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
 
 
 def make_video_step(model: PolyphonicFormer, cfg: ModelConfig, out_hw,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32, fusion_dtype=jnp.float32):
     fn = functools.partial(video_frame_step, model, cfg, out_hw=tuple(out_hw),
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype,
+                           fusion_dtype=fusion_dtype)
     return jax.jit(fn)
 
 

@@ -47,22 +47,31 @@ def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
     return np.clip(src, 0, in_size - 1).astype(np.int32)
 
 
-def resize_bilinear(x: jax.Array, out_hw: tuple, assume_hw_axes=(-2, -1)) -> jax.Array:
+def resize_bilinear(x: jax.Array, out_hw: tuple, precise: bool = True) -> jax.Array:
     """Bilinear resize of the last two axes (..., H, W) with torch
-    align_corners=False semantics."""
-    del assume_hw_axes
+    align_corners=False semantics.
+
+    precise=True computes in f32 at HIGHEST matmul precision (bit-parity
+    with torch); precise=False keeps the input dtype (bf16 serving path,
+    2x HBM traffic saved on the full-resolution mask stacks).
+    """
     out_h, out_w = int(out_hw[0]), int(out_hw[1])
     *lead, in_h, in_w = x.shape
     if (in_h, in_w) == (out_h, out_w):
         return x
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    rh = jnp.asarray(_bilinear_matrix(in_h, out_h))  # (out_h, in_h)
-    rw = jnp.asarray(_bilinear_matrix(in_w, out_w))  # (out_w, in_w)
+    if precise:
+        xf = x.astype(jnp.float32)
+        prec = jax.lax.Precision.HIGHEST
+    else:
+        xf = x
+        prec = jax.lax.Precision.DEFAULT
+    rh = jnp.asarray(_bilinear_matrix(in_h, out_h)).astype(xf.dtype)
+    rw = jnp.asarray(_bilinear_matrix(in_w, out_w)).astype(xf.dtype)
     # (..., in_h, in_w) -> (..., out_h, in_w)
-    y = jnp.einsum("oh,...hw->...ow", rh, xf, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("oh,...hw->...ow", rh, xf, precision=prec)
     # -> (..., out_h, out_w)
-    y = jnp.einsum("pw,...ow->...op", rw, y, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("pw,...ow->...op", rw, y, precision=prec)
     return y.astype(dtype)
 
 

@@ -18,6 +18,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..configs import ParallelConfig
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host initialization (replaces the reference's
+    ``mmcv.runner.init_dist`` torchrun/slurm/mpi launchers,
+    tools/train.py:74-78).  No-op on a single host."""
+    import os
+
+    if coordinator_address is None and "COORDINATOR_ADDRESS" not in os.environ:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+
+
 def make_mesh(cfg: Optional[ParallelConfig] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     cfg = cfg or ParallelConfig()

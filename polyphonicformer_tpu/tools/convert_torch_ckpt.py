@@ -261,7 +261,8 @@ def self_test() -> None:
                       feedforward_channels=128, num_proposals=10,
                       with_track=True)
     model = PolyphonicFormer(cfg)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)),
+                           method=PolyphonicFormer.init_all)
     mapping = build_param_mapping(cfg.num_stages, cfg.backbone, cfg.with_track)
 
     flat_params = flatten_tree(variables["params"])
