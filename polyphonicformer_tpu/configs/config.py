@@ -156,6 +156,9 @@ class ModelConfig:
 
     # numerics
     compute_dtype: str = "float32"  # 'bfloat16' for inference/serving
+    # rematerialize backbone blocks in the backward pass (trades FLOPs for
+    # HBM — required for full-res 1024x2048 training on one chip)
+    remat_backbone: bool = True
 
     @property
     def num_classes(self) -> int:

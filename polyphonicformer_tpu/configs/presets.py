@@ -67,11 +67,35 @@ def video_swinl() -> ExperimentConfig:
                                work_dir="work_dirs/poly_swinl_video")
 
 
+def debug_tiny() -> ExperimentConfig:
+    """Small model + small crops for CI / smoke tests on CPU."""
+    model = ModelConfig(out_channels=64, in_channels=64, fpn_out_channels=64,
+                        feedforward_channels=128, num_proposals=20,
+                        max_things=8)
+    data = DataConfig(img_size=(128, 256), ratio_range=(1.0, 1.1),
+                      batch_size=1, num_workers=1, repeat_times=1)
+    return ExperimentConfig(
+        model=model, data=data,
+        schedule=ScheduleConfig(lr=1e-4, warmup_iters=10, total_epochs=1,
+                                lr_decay_epochs=(1,), log_interval=1),
+        work_dir="work_dirs/debug_tiny")
+
+
+def debug_tiny_video() -> ExperimentConfig:
+    cfg = debug_tiny()
+    model = dataclasses.replace(cfg.model, with_track=True)
+    data = dataclasses.replace(cfg.data, ref_sample_mode="random",
+                               ref_seq_index=(-1, 1))
+    return dataclasses.replace(cfg, model=model, data=data)
+
+
 PRESETS = {
     "image_r50_2x": image_r50_2x,
     "video_r50_1x": video_r50_1x,
     "video_r50_semkitti_1x": video_r50_semkitti_1x,
     "video_swinl": video_swinl,
+    "debug_tiny": debug_tiny,
+    "debug_tiny_video": debug_tiny_video,
 }
 
 

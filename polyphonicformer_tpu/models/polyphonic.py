@@ -35,14 +35,20 @@ class PolyphonicFormer(nn.Module):
     def setup(self):
         cfg = self.cfg
         if cfg.backbone.startswith("resnet"):
-            self.backbone = ResNet(cfg.backbone, name="backbone")
+            bb_cls = ResNet
+            if cfg.remat_backbone:
+                # remat the whole backbone: full-res activations dominate
+                # training HBM (jax.checkpoint trades FLOPs for memory)
+                bb_cls = nn.remat(ResNet)
+            self.backbone = bb_cls(cfg.backbone, name="backbone")
         elif cfg.backbone.startswith("swin"):
             from .swin import SwinTransformer
 
             spec = {"swin_tiny": (96, (2, 2, 6, 2), (3, 6, 12, 24)),
                     "swin_large": (192, (2, 2, 18, 2), (6, 12, 24, 48))}
             dim, depths, heads = spec[cfg.backbone]
-            self.backbone = SwinTransformer(dim, depths, heads, name="backbone")
+            bb_cls = nn.remat(SwinTransformer) if cfg.remat_backbone else SwinTransformer
+            self.backbone = bb_cls(dim, depths, heads, name="backbone")
         elif cfg.backbone.startswith("stdc"):
             from .stdc import STDCNet
 

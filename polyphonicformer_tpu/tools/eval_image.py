@@ -18,6 +18,8 @@ def main() -> None:
     ap.add_argument("--data-root", required=True)
     ap.add_argument("--split", default="val")
     ap.add_argument("--checkpoint", required=True, help="converted .pkl variables")
+    ap.add_argument("--preset", default=None,
+                    help="config preset (default: full R50 model)")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -32,8 +34,13 @@ def main() -> None:
     from ..infer.pipeline import make_image_step
     from ..models import PolyphonicFormer
 
-    cfg = ModelConfig()
-    dc = DataConfig()
+    if args.preset:
+        from ..configs import get_preset
+
+        exp = get_preset(args.preset)
+        cfg, dc = exp.model, exp.data
+    else:
+        cfg, dc = ModelConfig(), DataConfig()
     model = PolyphonicFormer(cfg)
     with open(args.checkpoint, "rb") as f:
         variables = pickle.load(f)

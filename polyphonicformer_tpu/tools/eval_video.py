@@ -19,6 +19,8 @@ def main() -> None:
     ap.add_argument("--data-root", required=True)
     ap.add_argument("--split", default="val")
     ap.add_argument("--checkpoint", required=True, help="converted .pkl variables")
+    ap.add_argument("--preset", default=None,
+                    help="config preset (default: full R50 model)")
     ap.add_argument("--eval-dir", default="work_dirs/video_eval")
     ap.add_argument("--nproc", type=int, default=8)
     ap.add_argument("--max-frames", type=int, default=None)
@@ -51,8 +53,13 @@ def run_inference(args) -> None:
     from ..infer.tracker import init_tracker_state
     from ..models import PolyphonicFormer
 
-    cfg = ModelConfig(with_track=True)
-    dc = DataConfig()
+    if args.preset:
+        from ..configs import get_preset
+
+        exp = get_preset(args.preset)
+        cfg, dc = exp.model, exp.data
+    else:
+        cfg, dc = ModelConfig(with_track=True), DataConfig()
     model = PolyphonicFormer(cfg)
     with open(args.checkpoint, "rb") as f:
         variables = pickle.load(f)
