@@ -48,7 +48,8 @@ def fuse_panoptic(cfg: ModelConfig,
                   depth_logits: jax.Array,
                   depth_init_logits: jax.Array,
                   out_hw: Tuple[int, int],
-                  fusion_dtype=jnp.float32) -> PanopticResult:
+                  fusion_dtype=jnp.float32,
+                  num_track_masks: int | None = None) -> PanopticResult:
     """Args (single image, final refinement stage, stride-8/4 resolution):
       cls_probs: (111, C) sigmoid class probabilities.
       mask_logits: (111, h, w) mask logits.
@@ -125,7 +126,10 @@ def fuse_panoptic(cfg: ModelConfig,
                            depth_cand).astype(jnp.float32)
     depth = jnp.where(keep_at_pix, depth_pix, depth_basic)
 
-    seg_masks = region & keep[:, None, None]
+    # only the top candidates feed the tracker; avoid materializing the
+    # full (K, H, W) stack when a cap is given
+    nt_masks = kk if num_track_masks is None else min(num_track_masks, kk)
+    seg_masks = region[:nt_masks] & keep[:nt_masks, None, None]
 
     return PanopticResult(
         panoptic=panoptic.astype(jnp.int32),

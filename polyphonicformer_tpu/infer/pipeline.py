@@ -91,7 +91,8 @@ def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
         (out.rpn.depth_pred.shape[-2] * 2, out.rpn.depth_pred.shape[-1] * 2))[0]
 
     pano = fuse_panoptic(cfg, cls_probs, mask_logits, depth_logits,
-                         depth_init, out_hw, fusion_dtype=fusion_dtype)
+                         depth_init, out_hw, fusion_dtype=fusion_dtype,
+                         num_track_masks=cfg.tracker.max_detections)
 
     # --- tracking over kept thing segments --------------------------------
     d = cfg.tracker.max_detections
@@ -129,9 +130,11 @@ def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
 
     # per-pixel track id (candidates beyond D get 0)
     cand_track_id = jnp.zeros((kk,), jnp.int32).at[:take].set(ids_by_det[:take])
-    # pano.masks[k] is exactly the pixels argmax-assigned to k (kept only)
+    # pano.masks[k] is exactly the pixels argmax-assigned to k (kept only);
+    # capped to the tracker capacity by num_track_masks above
+    nt = pano.masks.shape[0]
     track_map = jnp.einsum("khw,k->hw", pano.masks.astype(jnp.int32),
-                           cand_track_id * thing_keep.astype(jnp.int32))
+                           (cand_track_id * thing_keep.astype(jnp.int32))[:nt])
 
     fo = FrameOutput(semantic=pano.semantic, track_map=track_map,
                      depth=pano.depth, depth_basic=pano.depth_basic,
@@ -150,7 +153,7 @@ def make_video_step(model: PolyphonicFormer, cfg: ModelConfig, out_hw,
 def batched_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
                        images: jax.Array, tracker_states: TrackerState,
                        frame_ids: jax.Array, out_hw: Tuple[int, int],
-                       compute_dtype=jnp.float32):
+                       compute_dtype=jnp.float32, fusion_dtype=jnp.float32):
     """Multi-clip serving: B frames from B independent sequences in one
     program (BASELINE config #5).  tracker_states carries a batch axis.
 
@@ -178,7 +181,9 @@ def batched_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
         ml = resize_bilinear(mask_p, (h8 * 2, w8 * 2))
         dl = resize_bilinear(depth_p, (h8 * 2, w8 * 2))
         d0 = resize_bilinear(depth0[None], (h8 * 2, w8 * 2))[0]
-        return fuse_panoptic(cfg, cls_probs, ml, dl, d0, out_hw)
+        return fuse_panoptic(cfg, cls_probs, ml, dl, d0, out_hw,
+                             fusion_dtype=fusion_dtype,
+                             num_track_masks=cfg.tracker.max_detections)
 
     pano = jax.vmap(fuse_one)(out.stages[-1].cls_score,
                               out.stages[-1].mask_preds,
@@ -218,8 +223,9 @@ def batched_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
         out_ids = jnp.where(kept_s & (ids_s >= 0), ids_s + 1, 0)
         ids_by_det = jnp.zeros((d,), jnp.int32).at[ord_].set(out_ids)
         cand_track_id = jnp.zeros((kk,), jnp.int32).at[:take].set(ids_by_det[:take])
+        nt = cand_masks.shape[0]
         return jnp.einsum("khw,k->hw", cand_masks.astype(jnp.int32),
-                          cand_track_id * keep_t.astype(jnp.int32))
+                          (cand_track_id * keep_t.astype(jnp.int32))[:nt])
 
     track_map = jax.vmap(finish)(ids_sorted, order, kept_sorted, pano.masks,
                                  thing_keep)
@@ -230,9 +236,10 @@ def batched_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
 
 
 def make_batched_video_step(model: PolyphonicFormer, cfg: ModelConfig, out_hw,
-                            compute_dtype=jnp.float32):
+                            compute_dtype=jnp.float32, fusion_dtype=jnp.float32):
     fn = functools.partial(batched_video_step, model, cfg,
-                           out_hw=tuple(out_hw), compute_dtype=compute_dtype)
+                           out_hw=tuple(out_hw), compute_dtype=compute_dtype,
+                           fusion_dtype=fusion_dtype)
     return jax.jit(fn)
 
 
