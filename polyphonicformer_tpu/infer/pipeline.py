@@ -249,6 +249,51 @@ def init_batched_tracker_states(cfg: ModelConfig, batch: int) -> TrackerState:
         lambda a: jnp.broadcast_to(a[None], (batch,) + a.shape), one)
 
 
+class ClipOutput(NamedTuple):
+    semantic: jax.Array  # (T, H, W) int32
+    track_map: jax.Array  # (T, H, W) int32
+    depth: jax.Array  # (T, H, W) float32
+    panoptic: jax.Array  # (T, H, W) int32
+
+
+def clip_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
+                    images: jax.Array, tracker_state: TrackerState,
+                    first_frame_id: jax.Array, out_hw: Tuple[int, int],
+                    compute_dtype=jnp.float32, fusion_dtype=jnp.float32
+                    ) -> Tuple[ClipOutput, TrackerState]:
+    """Process T consecutive frames of ONE sequence in a single program
+    (lax.scan over frames, tracker state carried on device).
+
+    This is the offline-eval / serving mode: it amortizes per-dispatch host
+    overhead over the clip while keeping the exact streaming semantics
+    (frames still processed in order through the stateful tracker).
+
+    images: (T, H, W, 3).
+    """
+
+    def body(state, inp):
+        img, fid = inp
+        fo, state = video_frame_step(
+            model, cfg, variables, img[None], state, fid, out_hw,
+            compute_dtype=compute_dtype, fusion_dtype=fusion_dtype)
+        slim = ClipOutput(semantic=fo.semantic, track_map=fo.track_map,
+                          depth=fo.depth, panoptic=fo.panoptic)
+        return state, slim
+
+    t = images.shape[0]
+    fids = first_frame_id + jnp.arange(t, dtype=jnp.int32)
+    state, outs = jax.lax.scan(body, tracker_state, (images, fids))
+    return outs, state
+
+
+def make_clip_step(model: PolyphonicFormer, cfg: ModelConfig, out_hw,
+                   compute_dtype=jnp.float32, fusion_dtype=jnp.float32):
+    fn = functools.partial(clip_video_step, model, cfg, out_hw=tuple(out_hw),
+                           compute_dtype=compute_dtype,
+                           fusion_dtype=fusion_dtype)
+    return jax.jit(fn)
+
+
 def make_image_step(model: PolyphonicFormer, cfg: ModelConfig, out_hw):
     """Image-mode inference: fusion only (reference Polyphonic.simple_test)."""
 

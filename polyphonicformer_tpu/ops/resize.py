@@ -47,6 +47,41 @@ def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
     return np.clip(src, 0, in_size - 1).astype(np.int32)
 
 
+def _phase_weights(factor: int) -> np.ndarray:
+    """Per-phase 2-tap weights for integer-factor bilinear upsampling
+    (half-pixel mapping).  Returns (factor, 2) weights for taps
+    (floor(src), floor(src)+1) with src = (p + 0.5)/factor - 0.5 offset from
+    the base index."""
+    p = np.arange(factor, dtype=np.float64)
+    src = (p + 0.5) / factor - 0.5  # in (-1, 1)
+    lam = src - np.floor(src)
+    return np.stack([1.0 - lam, lam], axis=1).astype(np.float32), \
+        np.floor(src).astype(np.int64)
+
+
+def _upsample_int_factor_1d(x: jax.Array, factor: int, axis: int) -> jax.Array:
+    """Exact torch-bilinear upsample by an integer factor along one axis via
+    phase decomposition: each output phase is a 2-tap lerp of (possibly
+    shifted) input rows.  O(size) vector work instead of a dense matmul over
+    a 99.9%-sparse interpolation matrix."""
+    weights, base = _phase_weights(factor)
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    # edge-replicated neighbors (torch clamps indices at the borders)
+    left = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+    right = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
+    phases = []
+    for p in range(factor):
+        w0, w1 = float(weights[p, 0]), float(weights[p, 1])
+        if base[p] == -1:  # taps (i-1, i)
+            v = jnp.asarray(w0, x.dtype) * left + jnp.asarray(w1, x.dtype) * x
+        else:  # taps (i, i+1)
+            v = jnp.asarray(w0, x.dtype) * x + jnp.asarray(w1, x.dtype) * right
+        phases.append(v)
+    out = jnp.stack(phases, axis=-1).reshape(x.shape[:-1] + (n * factor,))
+    return jnp.moveaxis(out, -1, axis)
+
+
 def resize_bilinear(x: jax.Array, out_hw: tuple, precise: bool = True) -> jax.Array:
     """Bilinear resize of the last two axes (..., H, W) with torch
     align_corners=False semantics.
@@ -54,11 +89,22 @@ def resize_bilinear(x: jax.Array, out_hw: tuple, precise: bool = True) -> jax.Ar
     precise=True computes in f32 at HIGHEST matmul precision (bit-parity
     with torch); precise=False keeps the input dtype (bf16 serving path,
     2x HBM traffic saved on the full-resolution mask stacks).
+
+    Integer-factor upsampling uses phase decomposition (2-tap lerps of
+    shifted copies) — same math, ~20x less work than the dense
+    interpolation-matrix matmul.
     """
     out_h, out_w = int(out_hw[0]), int(out_hw[1])
     *lead, in_h, in_w = x.shape
     if (in_h, in_w) == (out_h, out_w):
         return x
+    if out_h % in_h == 0 and out_w % in_w == 0 and out_h // in_h <= 8 \
+            and out_w // in_w <= 8:
+        dtype = x.dtype
+        xf = x.astype(jnp.float32) if precise else x
+        y = _upsample_int_factor_1d(xf, out_h // in_h, -2)
+        y = _upsample_int_factor_1d(y, out_w // in_w, -1)
+        return y.astype(dtype)
     dtype = x.dtype
     if precise:
         xf = x.astype(jnp.float32)
