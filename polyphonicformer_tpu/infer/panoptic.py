@@ -24,6 +24,63 @@ from ..ops.depth import depth_act
 from ..ops.resize import resize_bilinear
 
 
+def _shifted(x: jax.Array, dy: int, dx: int) -> jax.Array:
+    """Edge-clamped shift of the last two axes by (dy, dx) in {-1, 0, 1}."""
+    if dy == -1:
+        x = jnp.concatenate([x[..., :1, :], x[..., :-1, :]], axis=-2)
+    elif dy == 1:
+        x = jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
+    if dx == -1:
+        x = jnp.concatenate([x[..., :, :1], x[..., :, :-1]], axis=-1)
+    elif dx == 1:
+        x = jnp.concatenate([x[..., :, 1:], x[..., :, -1:]], axis=-1)
+    return x
+
+
+def _phase_tap_weights(factor: int):
+    """Per-phase (base_offset, (w0, w1)) for half-pixel bilinear upsampling."""
+    import numpy as np
+
+    p = np.arange(factor)
+    src = (p + 0.5) / factor - 0.5
+    base = np.floor(src).astype(int)  # -1 or 0
+    lam = src - base
+    return [(int(base[i]), (float(1 - lam[i]), float(lam[i])))
+            for i in range(factor)]
+
+
+def _phase_upsample(x: jax.Array, py: int, px: int, fy: int,
+                    fx: int) -> jax.Array:
+    """One (py, px) phase of the exact (fy, fx) bilinear upsample of the
+    last two axes: a 4-tap lerp of edge-clamped shifts, same resolution as
+    the input."""
+    by, (wy0, wy1) = _phase_tap_weights(fy)[py]
+    bx, (wx0, wx1) = _phase_tap_weights(fx)[px]
+    d = x.dtype
+
+    def t(dy, dx):
+        return _shifted(x, dy, dx)
+
+    return (jnp.asarray(wy0 * wx0, d) * t(by, bx)
+            + jnp.asarray(wy0 * wx1, d) * t(by, bx + 1)
+            + jnp.asarray(wy1 * wx0, d) * t(by + 1, bx)
+            + jnp.asarray(wy1 * wx1, d) * t(by + 1, bx + 1))
+
+
+def _interleave_phases(tiles, fy: int, fx: int) -> jax.Array:
+    """tiles: list of fy*fx arrays (..., h, w) ordered (py, px) ->
+    output (..., h*fy, w*fx)."""
+    h, w = tiles[0].shape[-2:]
+    stack = jnp.stack(tiles, axis=0)  # (fy*fx, ..., h, w)
+    lead = stack.shape[1:-2]
+    stack = stack.reshape((fy, fx) + lead + (h, w))
+    # (py, px, ..., h, w) -> (..., h, py, w, px)
+    nl = len(lead)
+    perm = tuple(range(2, 2 + nl)) + (2 + nl, 0, 3 + nl, 1)
+    stack = stack.transpose(perm)
+    return stack.reshape(lead + (h * fy, w * fx))
+
+
 class PanopticResult(NamedTuple):
     """Per-image fused outputs. Candidate arrays are ordered
     [things(top-100), stuff(11, score-sorted)] like the reference."""
@@ -83,25 +140,56 @@ def fuse_panoptic(cfg: ModelConfig,
     kk = k + ns
     is_thing = jnp.arange(kk) < k
 
-    # --- rescale gathered masks/depth to the output size -----------------
+    # --- upsample + merge, computed in PHASE SPACE ------------------------
+    # For integer upscale factors the half-pixel bilinear upsample splits
+    # into fy*fx phases, each a 4-tap lerp of shifted stride-4 maps.  All
+    # per-candidate statistics (argmax regions, areas, winner depth) are
+    # pointwise over pixels, so the merge runs entirely at stride-4
+    # resolution per phase — no (K, H, W) tensor is ever materialized; only
+    # the final small maps are interleaved.
     precise = fusion_dtype == jnp.float32
+    hs, ws = mask_logits.shape[-2:]
     masks_small = jax.nn.sigmoid(mask_logits[cand_rows].astype(fusion_dtype))
-    masks = resize_bilinear(masks_small, (h, w), precise=precise)
     depth_small = depth_act(depth_logits[cand_rows].astype(fusion_dtype),
                             cfg.depth_act_mode)
-    depth_cand = resize_bilinear(depth_small, (h, w), precise=precise)
     depth_basic = resize_bilinear(
         depth_act(depth_init_logits.astype(jnp.float32), cfg.depth_act_mode)[None],
         (h, w))[0]
 
-    # --- joint merge ------------------------------------------------------
-    prob_masks = scores.astype(fusion_dtype)[:, None, None] * masks
-    pix_arg = jnp.argmax(prob_masks, axis=0)  # (H, W) in [0, K)
-    # candidate-region indicator; per-candidate areas as a plain reduction
-    # (a scatter-add histogram serializes on TPU, this vectorizes)
-    region = pix_arg[None] == jnp.arange(kk, dtype=pix_arg.dtype)[:, None, None]
-    mask_area = region.sum(axis=(1, 2)).astype(jnp.int32)
-    orig_area = (masks >= 0.5).sum(axis=(1, 2)).astype(jnp.int32)
+    phased = (h % hs == 0 and w % ws == 0 and 1 <= h // hs <= 8
+              and 1 <= w // ws <= 8)
+    scores_d = scores.astype(fusion_dtype)
+    if phased:
+        fy, fx = h // hs, w // ws
+        mask_area = jnp.zeros((kk,), jnp.int32)
+        orig_area = jnp.zeros((kk,), jnp.int32)
+        pix_tiles, depth_tiles = [], []
+        for py in range(fy):
+            for px in range(fx):
+                up = _phase_upsample(masks_small, py, px, fy, fx)
+                prob = scores_d[:, None, None] * up
+                pa = jnp.argmax(prob, axis=0)
+                region_p = pa[None] == jnp.arange(kk, dtype=pa.dtype)[:, None, None]
+                mask_area = mask_area + region_p.sum(axis=(1, 2)).astype(jnp.int32)
+                orig_area = orig_area + (up >= 0.5).sum(axis=(1, 2)).astype(jnp.int32)
+                dup = _phase_upsample(depth_small, py, px, fy, fx)
+                dsel = jnp.einsum("khw,khw->hw", region_p.astype(fusion_dtype),
+                                  dup).astype(jnp.float32)
+                pix_tiles.append(pa)
+                depth_tiles.append(dsel)
+        pix_arg = _interleave_phases(pix_tiles, fy, fx)
+        depth_pix = _interleave_phases(depth_tiles, fy, fx)
+        masks = None
+    else:  # general-resolution fallback: materialize full-res candidates
+        masks = resize_bilinear(masks_small, (h, w), precise=precise)
+        depth_cand = resize_bilinear(depth_small, (h, w), precise=precise)
+        prob_masks = scores_d[:, None, None] * masks
+        pix_arg = jnp.argmax(prob_masks, axis=0)
+        region = pix_arg[None] == jnp.arange(kk, dtype=pix_arg.dtype)[:, None, None]
+        mask_area = region.sum(axis=(1, 2)).astype(jnp.int32)
+        orig_area = (masks >= 0.5).sum(axis=(1, 2)).astype(jnp.int32)
+        depth_pix = jnp.einsum("khw,khw->hw", region.astype(fusion_dtype),
+                               depth_cand).astype(jnp.float32)
 
     score_ok = (~is_thing) | (scores >= cfg.instance_score_thr)
     area_ok = (mask_area > 0) & (orig_area > 0)
@@ -120,16 +208,14 @@ def fuse_panoptic(cfg: ModelConfig,
     panoptic = jnp.where(keep_at_pix, seg_ids[pix_arg], 0)
     semantic = jnp.where(keep_at_pix, labels[pix_arg],
                          cfg.num_classes).astype(jnp.int32)
-    # per-pixel winning-candidate depth: contraction against the region
-    # indicator beats a strided (K, HW) gather on TPU
-    depth_pix = jnp.einsum("khw,khw->hw", region.astype(fusion_dtype),
-                           depth_cand).astype(jnp.float32)
     depth = jnp.where(keep_at_pix, depth_pix, depth_basic)
 
     # only the top candidates feed the tracker; avoid materializing the
     # full (K, H, W) stack when a cap is given
     nt_masks = kk if num_track_masks is None else min(num_track_masks, kk)
-    seg_masks = region[:nt_masks] & keep[:nt_masks, None, None]
+    seg_masks = (pix_arg[None] ==
+                 jnp.arange(nt_masks, dtype=pix_arg.dtype)[:, None, None]) \
+        & keep[:nt_masks, None, None]
 
     return PanopticResult(
         panoptic=panoptic.astype(jnp.int32),
