@@ -24,6 +24,21 @@ from ..ops.depth import depth_act
 from ..ops.resize import resize_bilinear
 
 
+def _use_pallas_fusion() -> bool:
+    """Default ON for TPU backends (opt out with POLY_PALLAS_FUSION=0).
+    Only used for the bf16 serving path; the f32 reference-exact path always
+    takes the XLA implementation."""
+    import os
+
+    flag = os.environ.get("POLY_PALLAS_FUSION", "1")
+    if flag == "0":
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _shifted(x: jax.Array, dy: int, dx: int) -> jax.Array:
     """Edge-clamped shift of the last two axes by (dy, dx) in {-1, 0, 1}."""
     if dy == -1:
@@ -159,7 +174,18 @@ def fuse_panoptic(cfg: ModelConfig,
     phased = (h % hs == 0 and w % ws == 0 and 1 <= h // hs <= 8
               and 1 <= w // ws <= 8)
     scores_d = scores.astype(fusion_dtype)
-    if phased:
+    if phased and fusion_dtype != jnp.float32 and _use_pallas_fusion():
+        from ..ops.pallas.phase_fusion import phase_fusion
+
+        fy, fx = h // hs, w // ws
+        pix, dep, marea, oarea = phase_fusion(masks_small, scores, depth_small,
+                                              fy, fx)
+        mask_area = marea.astype(jnp.int32)
+        orig_area = oarea.astype(jnp.int32)
+        pix_arg = _interleave_phases(list(pix.reshape(fy * fx, hs, ws)), fy, fx)
+        depth_pix = _interleave_phases(list(dep.reshape(fy * fx, hs, ws)), fy, fx)
+        masks = None
+    elif phased:
         fy, fx = h // hs, w // ws
         mask_area = jnp.zeros((kk,), jnp.int32)
         orig_area = jnp.zeros((kk,), jnp.int32)

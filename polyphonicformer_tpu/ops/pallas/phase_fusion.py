@@ -1,0 +1,147 @@
+"""Fused panoptic-merge kernel: all bilinear-upsample phases + score-weighted
+argmax + region areas + winner depth in one VMEM pass.
+
+The phase-space fusion (infer/panoptic.py) still re-reads the stride-4
+candidate stacks ~4x per phase from HBM (taps x phases).  This kernel keeps
+one row-tile of the (K, h/4, w/4) stacks in VMEM and emits, for all
+fy*fx phases at once:
+
+  pix_arg   (fy, fx, h/4, w/4) int32  — per-phase argmax_k score_k * m_k
+  depth_sel (fy, fx, h/4, w/4) f32    — depth of the winning candidate
+  mask_area (K,) f32                  — |argmax region| per candidate
+  orig_area (K,) f32                  — |m_k >= 0.5| per candidate
+
+Mosaic-layout notes: every in-kernel value stays >= 2-D (scores enter as a
+(K, 1, W) broadcast block; the area accumulators are (K, W) column partial
+sums reduced outside).  Row halos are handled by passing edge-clamped
+row-shifted copies (computed once in XLA); column shifts are internal
+because tiles span the full width.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _phase_taps(factor: int):
+    p = np.arange(factor)
+    src = (p + 0.5) / factor - 0.5
+    base = np.floor(src).astype(int)
+    lam = (src - base).astype(np.float32)
+    return [(int(base[i]), float(1 - lam[i]), float(lam[i]))
+            for i in range(factor)]
+
+
+def _col_shift(x, dx: int):
+    """Edge-clamped column shift of (..., w) values (tiles span full width)."""
+    if dx == 0:
+        return x
+    if dx == -1:
+        return jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+    return jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
+
+
+def _kernel(score3_ref, m_prev_ref, m_cur_ref, m_next_ref,
+            d_prev_ref, d_cur_ref, d_next_ref,
+            pix_ref, dep_ref, marea_ref, oarea_ref,
+            *, fy: int, fx: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        marea_ref[:] = jnp.zeros_like(marea_ref)
+        oarea_ref[:] = jnp.zeros_like(oarea_ref)
+
+    score3 = score3_ref[:]  # (K, 1, W)
+    # refs stay bf16; upcast lazily inside each phase so the Mosaic stack
+    # holds only one phase's worth of f32 intermediates
+    rows = {-1: m_prev_ref, 0: m_cur_ref, 1: m_next_ref}
+    drows = {-1: d_prev_ref, 0: d_cur_ref, 1: d_next_ref}
+    k = rows[0].shape[0]
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
+
+    marea = jnp.zeros_like(marea_ref)  # (K, W) column partial sums
+    oarea = jnp.zeros_like(oarea_ref)
+    taps_y = _phase_taps(fy)
+    taps_x = _phase_taps(fx)
+    for py in range(fy):
+        by, wy0, wy1 = taps_y[py]
+        vy_m = (wy0 * rows[by][:].astype(jnp.float32)
+                + wy1 * rows[by + 1][:].astype(jnp.float32))
+        vy_d = (wy0 * drows[by][:].astype(jnp.float32)
+                + wy1 * drows[by + 1][:].astype(jnp.float32))
+        for px in range(fx):
+            bx, wx0, wx1 = taps_x[px]
+            v = wx0 * _col_shift(vy_m, bx) + wx1 * _col_shift(vy_m, bx + 1)
+            vd = wx0 * _col_shift(vy_d, bx) + wx1 * _col_shift(vy_d, bx + 1)
+            prob = score3 * v  # (K, TR, W)
+            pa = jnp.argmax(prob, axis=0).astype(jnp.int32)  # (TR, W)
+            region = (kidx == pa[None]).astype(jnp.float32)
+            marea = marea + region.sum(axis=1)  # (K, W)
+            oarea = oarea + (v >= 0.5).astype(jnp.float32).sum(axis=1)
+            pix_ref[py, px] = pa
+            dep_ref[py, px] = (region * vd).sum(axis=0)
+    marea_ref[:] += marea
+    oarea_ref[:] += oarea
+
+
+def phase_fusion(probs: jax.Array, scores: jax.Array, depth: jax.Array,
+                 fy: int = 4, fx: int = 4, interpret: bool = False
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """probs/depth: (K, hs, ws) stride-4 candidate maps (probabilities /
+    metric depth); scores: (K,).  Returns per-phase maps + areas."""
+    kk, hs, ws = probs.shape
+    kpad = (kk + 7) // 8 * 8
+    tr = 8
+    while hs % tr:
+        tr //= 2
+
+    def prep(x):
+        # bf16 storage keeps the double-buffered tiles inside the 16MB VMEM
+        # budget; math upcasts to f32 in-kernel (this kernel backs the bf16
+        # serving path)
+        x = jnp.pad(x.astype(jnp.bfloat16), ((0, kpad - kk), (0, 0), (0, 0)))
+        prev = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+        nxt = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+        return prev, x, nxt
+
+    m_prev, m_cur, m_next = prep(probs)
+    d_prev, d_cur, d_next = prep(depth)
+    score3 = jnp.broadcast_to(
+        jnp.pad(scores.astype(jnp.float32), (0, kpad - kk))[:, None, None],
+        (kpad, 1, ws))
+
+    grid = (hs // tr,)
+    row_spec = pl.BlockSpec((kpad, tr, ws), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_map_spec = pl.BlockSpec((fy, fx, tr, ws), lambda i: (0, 0, i, 0),
+                                memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((kpad, ws), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    pix, dep, marea, oarea = pl.pallas_call(
+        functools.partial(_kernel, fy=fy, fx=fx),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kpad, 1, ws), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec, row_spec, row_spec, row_spec, row_spec, row_spec,
+        ],
+        out_specs=(out_map_spec, out_map_spec, acc_spec, acc_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((fy, fx, hs, ws), jnp.int32),
+            jax.ShapeDtypeStruct((fy, fx, hs, ws), jnp.float32),
+            jax.ShapeDtypeStruct((kpad, ws), jnp.float32),
+            jax.ShapeDtypeStruct((kpad, ws), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(score3, m_prev, m_cur, m_next, d_prev, d_cur, d_next)
+    return pix, dep, marea[:kk].sum(axis=1), oarea[:kk].sum(axis=1)
