@@ -108,15 +108,18 @@ def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
 
     thing_keep = pano.keep & pano.is_thing  # (K,)
     det_valid = to_d(thing_keep)
-    det_masks = to_d(pano.masks).astype(jnp.float32)  # (D, H, W)
+    det_masks = to_d(pano.masks)  # (D, H, W) bool
     det_scores = to_d(pano.scores)
     det_labels = to_d(pano.labels)
-    boxes_yx = _mask_tight_boxes(det_masks > 0)
+    boxes_yx = _mask_tight_boxes(det_masks)
     det_boxes = jnp.concatenate(
         [jnp.maximum(boxes_yx, 0.0), det_scores[:, None]], axis=1)
 
-    embeds = model.apply(variables, fpn,
-                         det_masks[None].astype(image.dtype), det_valid[None],
+    from ..ops.roi_align import masks_to_boxes_mad
+
+    roi_boxes = masks_to_boxes_mad(det_masks)
+    embeds = model.apply(variables, fpn, det_masks[None], det_valid[None],
+                         roi_boxes[None],
                          method=PolyphonicFormer.forward_track_embeds)[0]
     embeds = embeds.astype(jnp.float32)
 
@@ -203,15 +206,17 @@ def batched_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
 
     thing_keep = pano.keep & pano.is_thing
     det_valid = to_d(thing_keep)
-    det_masks = to_d(pano.masks).astype(jnp.float32)
+    det_masks = to_d(pano.masks)  # (B, D, H, W) bool
     det_scores = to_d(pano.scores)
     det_labels = to_d(pano.labels)
-    boxes_yx = jax.vmap(lambda m: _mask_tight_boxes(m > 0))(det_masks)
+    boxes_yx = jax.vmap(_mask_tight_boxes)(det_masks)
     det_boxes = jnp.concatenate(
         [jnp.maximum(boxes_yx, 0.0), det_scores[..., None]], axis=2)
 
-    embeds = model.apply(cast_vars, fpn, det_masks.astype(images_c.dtype),
-                         det_valid,
+    from ..ops.roi_align import masks_to_boxes_mad
+
+    roi_boxes = jax.vmap(masks_to_boxes_mad)(det_masks)
+    embeds = model.apply(cast_vars, fpn, det_masks, det_valid, roi_boxes,
                          method=PolyphonicFormer.forward_track_embeds)
     embeds = embeds.astype(jnp.float32)
 

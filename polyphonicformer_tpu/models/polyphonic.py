@@ -115,11 +115,14 @@ class PolyphonicFormer(nn.Module):
         return out
 
     def forward_track_embeds(self, fpn_feats, masks: jax.Array,
-                             mask_valid: jax.Array) -> jax.Array:
+                             mask_valid: jax.Array,
+                             boxes: jax.Array | None = None) -> jax.Array:
         """RoI-align track embeddings for (padded) instance masks.
 
         masks: (B, M, H, W) binary masks at input resolution.
         mask_valid: (B, M) validity.
+        boxes: optional precomputed (B, M, 4) RoI boxes (skips the
+          mask->box reduction).
         Returns (B, M, embed_channels).
         """
-        return self.track_head(fpn_feats, masks, mask_valid)
+        return self.track_head(fpn_feats, masks, mask_valid, boxes)

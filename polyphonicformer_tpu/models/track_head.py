@@ -41,21 +41,29 @@ class TrackHead(nn.Module):
     cfg: TrackHeadConfig
 
     @nn.compact
-    def __call__(self, fpn_feats, masks: jax.Array, mask_valid: jax.Array) -> jax.Array:
+    def __call__(self, fpn_feats, masks: jax.Array, mask_valid: jax.Array,
+                 boxes: jax.Array | None = None) -> jax.Array:
         """fpn_feats: P2..P5 (B, H_l, W_l, C); masks: (B, M, H, W) binary at
-        input resolution; mask_valid: (B, M). Returns (B, M, E)."""
+        input resolution (may be a dummy when ``boxes`` is given);
+        mask_valid: (B, M); boxes: optional precomputed (B, M, 4) MAD boxes.
+        Returns (B, M, E)."""
         cfg = self.cfg
 
-        def per_image(feats, m, valid):
-            boxes = masks_to_boxes_mad(m)
-            boxes = jnp.where(valid[:, None], boxes, 0.0)
+        def per_image(feats, m, valid, bxs):
+            if bxs is None:
+                bxs = masks_to_boxes_mad(m)
+            bxs = jnp.where(valid[:, None], bxs, 0.0)
             rois = multilevel_roi_align(
-                feats, boxes, strides=cfg.featmap_strides,
+                feats, bxs, strides=cfg.featmap_strides,
                 out_size=cfg.roi_feat_size, sampling_ratio=cfg.roi_sampling_ratio,
                 finest_scale=cfg.finest_scale)
             return rois
 
-        rois = jax.vmap(per_image)(fpn_feats, masks, mask_valid)
+        if boxes is None:
+            rois = jax.vmap(lambda f, m, v: per_image(f, m, v, None))(
+                fpn_feats, masks, mask_valid)
+        else:
+            rois = jax.vmap(per_image)(fpn_feats, masks, mask_valid, boxes)
         b, m = rois.shape[:2]
         rois = rois.reshape(b * m, *rois.shape[2:])
         embeds = TrackEmbedMLP(cfg, name="embed_mlp")(rois)

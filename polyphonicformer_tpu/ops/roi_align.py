@@ -119,15 +119,19 @@ def masks_to_boxes_mad(masks: jax.Array, extend: float = 2.0) -> jax.Array:
     empty masks -> zeros), same as batch_mask2boxlist + rois.clamp(min=0).
     """
     m_, h, w = masks.shape
-    mf = (masks > 0).astype(jnp.float32)
-    area = mf.sum(axis=(1, 2))
+    mb = masks > 0
+    # row/column marginal counts: every moment below reduces over these
+    # (2 passes over the full-res masks instead of 5, no f32 mask cast)
+    colcount = mb.sum(axis=1).astype(jnp.float32)  # (M, W)
+    rowcount = mb.sum(axis=2).astype(jnp.float32)  # (M, H)
+    area = colcount.sum(axis=1)
     safe_area = jnp.maximum(area, 1.0)
-    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    cy = (mf * ys).sum(axis=(1, 2)) / safe_area
-    cx = (mf * xs).sum(axis=(1, 2)) / safe_area
-    dy = (mf * jnp.abs(ys - cy[:, None, None])).sum(axis=(1, 2)) / safe_area
-    dx = (mf * jnp.abs(xs - cx[:, None, None])).sum(axis=(1, 2)) / safe_area
+    ys = jnp.arange(h, dtype=jnp.float32)[None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None]
+    cy = (rowcount * ys).sum(axis=1) / safe_area
+    cx = (colcount * xs).sum(axis=1) / safe_area
+    dy = (rowcount * jnp.abs(ys - cy[:, None])).sum(axis=1) / safe_area
+    dx = (colcount * jnp.abs(xs - cx[:, None])).sum(axis=1) / safe_area
     dy = jnp.maximum(dy, 1.0)
     dx = jnp.maximum(dx, 1.0)
     x1 = cx - dx * extend
