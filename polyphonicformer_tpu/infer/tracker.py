@@ -137,25 +137,27 @@ def tracker_step(cfg: TrackerConfig, state: TrackerState, bboxes: jax.Array,
     scores_mat = jnp.where(col_mask & row_mask, scores_mat, 0.0)
     has_memo = memo_valid.any()
 
-    # greedy assignment with column suppression
-    def scan_body(mat, i):
-        row = mat[i]
+    # greedy assignment with column suppression.  The reference zeroes the
+    # matched column of the score matrix for later rows; carrying a
+    # used-column mask is equivalent (each row only sees suppressions from
+    # earlier rows) and keeps the scan carry tiny.
+    def scan_body(used, inp):
+        row, det_score, valid = inp
+        row = jnp.where(used, 0.0, row)
         memo_ind = jnp.argmax(row)
         conf = row[memo_ind]
         tid = memo_ids[memo_ind]
-        det_score = bboxes[i, 4]
-        confident = (conf > cfg.match_score_thr) & det_valid[i] & has_memo
+        confident = (conf > cfg.match_score_thr) & valid & has_memo
         take = confident & (tid > -1) & (det_score > cfg.obj_score_thr)
         suppress = confident & (tid > -1) & (det_score <= cfg.obj_score_thr) & \
             (conf > cfg.nms_conf_thr)
         out_id = jnp.where(take, tid, jnp.where(suppress, -2, -1))
-        # zero the matched column for every other row
-        col = jax.nn.one_hot(memo_ind, mat.shape[1], dtype=mat.dtype)
-        row_sel = jax.nn.one_hot(i, mat.shape[0], dtype=mat.dtype)[:, None]
-        mat = jnp.where(take, mat * (1 - col[None, :] * (1 - row_sel)), mat)
-        return mat, out_id
+        used = used | (take & (jnp.arange(used.shape[0]) == memo_ind))
+        return used, out_id
 
-    _, ids = jax.lax.scan(scan_body, scores_mat, jnp.arange(d))
+    used0 = jnp.zeros((scores_mat.shape[1],), bool)
+    _, ids = jax.lax.scan(scan_body, used0,
+                          (scores_mat, bboxes[:, 4], det_valid))
 
     # new ids for confident unmatched detections
     new_mask = (ids == -1) & (bboxes[:, 4] > cfg.init_score_thr) & det_valid
