@@ -178,12 +178,10 @@ def fuse_panoptic(cfg: ModelConfig,
         from ..ops.pallas.phase_fusion import phase_fusion
 
         fy, fx = h // hs, w // ws
-        pix, dep, marea, oarea = phase_fusion(masks_small, scores, depth_small,
-                                              fy, fx)
+        pix_arg, depth_pix, marea, oarea = phase_fusion(
+            masks_small, scores, depth_small, fy, fx)
         mask_area = marea.astype(jnp.int32)
         orig_area = oarea.astype(jnp.int32)
-        pix_arg = _interleave_phases(list(pix.reshape(fy * fx, hs, ws)), fy, fx)
-        depth_pix = _interleave_phases(list(dep.reshape(fy * fx, hs, ws)), fy, fx)
         masks = None
     elif phased:
         fy, fx = h // hs, w // ws

@@ -70,12 +70,14 @@ def _kernel(score3_ref, m_prev_ref, m_cur_ref, m_next_ref,
     oarea = jnp.zeros_like(oarea_ref)
     taps_y = _phase_taps(fy)
     taps_x = _phase_taps(fx)
+    pix_rows, dep_rows = [], []
     for py in range(fy):
         by, wy0, wy1 = taps_y[py]
         vy_m = (wy0 * rows[by][:].astype(jnp.float32)
                 + wy1 * rows[by + 1][:].astype(jnp.float32))
         vy_d = (wy0 * drows[by][:].astype(jnp.float32)
                 + wy1 * drows[by + 1][:].astype(jnp.float32))
+        pix_cols, dep_cols = [], []
         for px in range(fx):
             bx, wx0, wx1 = taps_x[px]
             v = wx0 * _col_shift(vy_m, bx) + wx1 * _col_shift(vy_m, bx + 1)
@@ -85,8 +87,14 @@ def _kernel(score3_ref, m_prev_ref, m_cur_ref, m_next_ref,
             region = (kidx == pa[None]).astype(jnp.float32)
             marea = marea + region.sum(axis=1)  # (K, W)
             oarea = oarea + (v >= 0.5).astype(jnp.float32).sum(axis=1)
-            pix_ref[py, px] = pa
-            dep_ref[py, px] = (region * vd).sum(axis=0)
+            pix_cols.append(pa)
+            dep_cols.append((region * vd).sum(axis=0))
+        # assemble interleaved layout VMEM-locally: (TR, W, fx)
+        pix_rows.append(jnp.stack(pix_cols, axis=-1))
+        dep_rows.append(jnp.stack(dep_cols, axis=-1))
+    # (TR, fy, W, fx): row-major-reshapes to the full-res raster outside
+    pix_ref[:] = jnp.stack(pix_rows, axis=1)
+    dep_ref[:] = jnp.stack(dep_rows, axis=1)
     marea_ref[:] += marea
     oarea_ref[:] += oarea
 
@@ -120,7 +128,9 @@ def phase_fusion(probs: jax.Array, scores: jax.Array, depth: jax.Array,
     grid = (hs // tr,)
     row_spec = pl.BlockSpec((kpad, tr, ws), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
-    out_map_spec = pl.BlockSpec((fy, fx, tr, ws), lambda i: (0, 0, i, 0),
+    # output layout (hs, fy, ws, fx): a free row-major reshape away from the
+    # (hs*fy, ws*fx) raster — no post-hoc interleave relayout needed
+    out_map_spec = pl.BlockSpec((tr, fy, ws, fx), lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec((kpad, ws), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
@@ -135,8 +145,8 @@ def phase_fusion(probs: jax.Array, scores: jax.Array, depth: jax.Array,
         ],
         out_specs=(out_map_spec, out_map_spec, acc_spec, acc_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((fy, fx, hs, ws), jnp.int32),
-            jax.ShapeDtypeStruct((fy, fx, hs, ws), jnp.float32),
+            jax.ShapeDtypeStruct((hs, fy, ws, fx), jnp.int32),
+            jax.ShapeDtypeStruct((hs, fy, ws, fx), jnp.float32),
             jax.ShapeDtypeStruct((kpad, ws), jnp.float32),
             jax.ShapeDtypeStruct((kpad, ws), jnp.float32),
         ),
@@ -144,4 +154,6 @@ def phase_fusion(probs: jax.Array, scores: jax.Array, depth: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(score3, m_prev, m_cur, m_next, d_prev, d_cur, d_next)
+    pix = pix.reshape(hs * fy, ws * fx)
+    dep = dep.reshape(hs * fy, ws * fx)
     return pix, dep, marea[:kk].sum(axis=1), oarea[:kk].sum(axis=1)

@@ -43,11 +43,11 @@ def test_kernel_matches_xla_phase_path():
     depth = depth.astype(jnp.bfloat16).astype(jnp.float32)
     pix_t, dep_t, marea_w, oarea_w = xla_reference(probs, scores, depth, 4, 4)
 
-    got_pix = _interleave_phases(list(pix.reshape(16, hs, ws)), 4, 4)
+    got_pix = pix  # kernel returns the full-res raster directly
     want_pix = _interleave_phases(pix_t, 4, 4)
     np.testing.assert_array_equal(np.asarray(got_pix), np.asarray(want_pix))
 
-    got_dep = _interleave_phases(list(dep.reshape(16, hs, ws)), 4, 4)
+    got_dep = dep
     want_dep = _interleave_phases(dep_t, 4, 4)
     np.testing.assert_allclose(np.asarray(got_dep), np.asarray(want_dep),
                                rtol=1e-5, atol=1e-4)
