@@ -21,7 +21,6 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..configs import DataConfig, ModelConfig
-from .cityscapes_dvps import NUM_STUFF, NUM_THING
 
 
 def _cv2():

@@ -12,11 +12,11 @@ from __future__ import annotations
 
 import os
 from concurrent.futures import ProcessPoolExecutor
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 
-from .vpq import INSTANCE_DIVISOR, aggregate_pq, apply_depth_threshold, vpq_eval
+from .vpq import aggregate_pq, apply_depth_threshold, vpq_eval
 
 WINDOWS = (1, 2, 3, 4)
 DEPTH_THRS = (0.0, 0.5, 0.25, 0.1)

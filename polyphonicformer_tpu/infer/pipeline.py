@@ -11,11 +11,10 @@ array readout.
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..configs import ModelConfig
 from ..models.polyphonic import PolyphonicFormer

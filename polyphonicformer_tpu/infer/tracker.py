@@ -20,7 +20,7 @@ Semantics preserved:
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import flax
 import jax

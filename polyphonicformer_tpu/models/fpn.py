@@ -12,7 +12,6 @@ from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from ..ops.resize import upsample2x_nearest_nhwc
 

@@ -7,7 +7,7 @@ the checkpoint converter.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax

@@ -9,7 +9,7 @@ Freezing of stem + stage1 parameters is handled by the optimizer mask
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -5,7 +5,6 @@ reference: /root/reference/polyphonic/funcs/depth_utils.py:1-19
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def depth_act(depth_out: jax.Array, mode: str = "sigmoid",

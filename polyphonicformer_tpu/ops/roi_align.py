@@ -16,12 +16,10 @@ boxes (/root/reference/polyphonic/video/utils.py:39-82).
 """
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _bilinear_sample(feat: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:

@@ -21,8 +21,6 @@ from __future__ import annotations
 
 import argparse
 import pickle
-import re
-import sys
 from typing import Dict, Tuple
 
 import numpy as np

@@ -17,7 +17,6 @@ import pickle
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def parse_overrides(pairs):

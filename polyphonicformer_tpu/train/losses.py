@@ -30,8 +30,8 @@ from ..losses.depth_loss import depth_loss
 from ..losses.dice import dice_loss_per_row
 from ..losses.focal import sigmoid_focal_loss_elements
 from ..models.polyphonic import ModelOutput
-from ..ops.resize import resize_bilinear, resize_bilinear_nhwc
-from .assign import AssignResult, assign_masks
+from ..ops.resize import resize_bilinear
+from .assign import assign_masks
 from .targets import StageTargets, build_seg_target, build_stage_targets
 
 

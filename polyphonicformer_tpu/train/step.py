@@ -7,8 +7,7 @@ from NCCL DDP (SURVEY.md §2.4).
 """
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import flax
 import jax
