@@ -48,6 +48,9 @@ class TrackerState:
 
 
 def init_tracker_state(cfg: TrackerConfig, embed_dim: int) -> TrackerState:
+    assert cfg.memo_backdrop_frames == 1, (
+        "the static tracker keeps exactly one backdrop frame (the shipped "
+        "reference config value); generalize bd_* to a ring buffer for more")
     t, d = cfg.max_tracklets, cfg.max_detections
     return TrackerState(
         ids=jnp.full((t,), -1, jnp.int32),

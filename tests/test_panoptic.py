@@ -96,3 +96,32 @@ def test_fusion_matches_oracle(seed):
         region = pan_o == info["id"]
         assert (sem[region] == info["category_id"]).all()
     assert (sem[pan_o == 0] == cfg.num_classes).all()
+
+
+def test_bf16_fusion_close_to_f32():
+    """The bf16 serving fusion should agree with the f32 reference path on
+    the vast majority of pixels (ties/rounding may flip a few)."""
+    import jax.numpy as jnp_
+
+    rng = np.random.RandomState(5)
+    cfg = ModelConfig(num_proposals=12, max_per_img=12)
+    nq = cfg.num_queries
+    h8, w8 = 16, 32
+    out_hw = (64, 128)
+    cls_probs = jnp.asarray(rng.rand(nq, cfg.num_classes), jnp.float32)
+    mask_logits = jnp.asarray(rng.randn(nq, h8, w8) * 3, jnp.float32)
+    depth_logits = jnp.asarray(rng.randn(nq, h8, w8), jnp.float32)
+    depth_init = jnp.asarray(rng.randn(h8, w8), jnp.float32)
+
+    r32 = fuse_panoptic(cfg, cls_probs, mask_logits, depth_logits, depth_init,
+                        out_hw, fusion_dtype=jnp_.float32)
+    r16 = fuse_panoptic(cfg, cls_probs, mask_logits, depth_logits, depth_init,
+                        out_hw, fusion_dtype=jnp_.bfloat16)
+    sem32 = np.asarray(r32.semantic)
+    sem16 = np.asarray(r16.semantic)
+    agree = (sem32 == sem16).mean()
+    assert agree > 0.97, agree
+    d32 = np.asarray(r32.depth)
+    d16 = np.asarray(r16.depth)
+    same = sem32 == sem16
+    np.testing.assert_allclose(d16[same], d32[same], rtol=0.03, atol=0.3)
