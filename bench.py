@@ -80,6 +80,10 @@ def main() -> None:
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 3),
+        # provenance: the denominator is an ESTIMATE (reference publishes no
+        # fps; this env has no CUDA to measure it) — see module docstring.
+        "baseline_kind": "estimate",
+        "baseline_fps": REFERENCE_FPS_ESTIMATE,
     }))
 
 

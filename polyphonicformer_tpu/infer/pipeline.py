@@ -30,6 +30,10 @@ class FrameOutput(NamedTuple):
     depth_basic: jax.Array  # (H, W) float32
     panoptic: jax.Array  # (H, W) int32 segment ids
     pano: PanopticResult
+    # kept thing segments beyond the tracker's max_detections capacity this
+    # frame (those pixels get track id 0 silently otherwise) — surface it so
+    # dense scenes (SemKITTI) don't drop IDs invisibly.
+    track_overflow: jax.Array  # () int32
 
 
 def _mask_tight_boxes(masks: jax.Array) -> jax.Array:
@@ -129,6 +133,8 @@ def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
     ids_by_det = jnp.zeros((d,), jnp.int32)
     out_ids = jnp.where(kept_sorted & (ids_sorted >= 0), ids_sorted + 1, 0)
     ids_by_det = ids_by_det.at[order].set(out_ids)
+    overflow = (jnp.sum(thing_keep.astype(jnp.int32))
+                - jnp.sum(thing_keep[:take].astype(jnp.int32)))
 
     # per-pixel track id (candidates beyond D get 0)
     cand_track_id = jnp.zeros((kk,), jnp.int32).at[:take].set(ids_by_det[:take])
@@ -140,7 +146,8 @@ def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
 
     fo = FrameOutput(semantic=pano.semantic, track_map=track_map,
                      depth=pano.depth, depth_basic=pano.depth_basic,
-                     panoptic=pano.panoptic, pano=pano)
+                     panoptic=pano.panoptic, pano=pano,
+                     track_overflow=overflow)
     return fo, new_state
 
 
@@ -233,9 +240,12 @@ def batched_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
 
     track_map = jax.vmap(finish)(ids_sorted, order, kept_sorted, pano.masks,
                                  thing_keep)
+    overflow = (jnp.sum(thing_keep.astype(jnp.int32), axis=1)
+                - jnp.sum(thing_keep[:, :take].astype(jnp.int32), axis=1))
     fo = FrameOutput(semantic=pano.semantic, track_map=track_map,
                      depth=pano.depth, depth_basic=pano.depth_basic,
-                     panoptic=pano.panoptic, pano=pano)
+                     panoptic=pano.panoptic, pano=pano,
+                     track_overflow=overflow)
     return fo, new_states
 
 
@@ -258,6 +268,7 @@ class ClipOutput(NamedTuple):
     track_map: jax.Array  # (T, H, W) int32
     depth: jax.Array  # (T, H, W) float32
     panoptic: jax.Array  # (T, H, W) int32
+    track_overflow: jax.Array  # (T,) int32
 
 
 def clip_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
@@ -281,7 +292,8 @@ def clip_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
             model, cfg, variables, img[None], state, fid, out_hw,
             compute_dtype=compute_dtype, fusion_dtype=fusion_dtype)
         slim = ClipOutput(semantic=fo.semantic, track_map=fo.track_map,
-                          depth=fo.depth, panoptic=fo.panoptic)
+                          depth=fo.depth, panoptic=fo.panoptic,
+                          track_overflow=fo.track_overflow)
         return state, slim
 
     t = images.shape[0]

@@ -73,6 +73,7 @@ def run_inference(args) -> None:
     state = init_tracker_state(cfg.tracker, cfg.track_head.embed_channels)
     prev_seq = None
     frame_counter = 0
+    total_overflow = 0
     for info in frames:
         frame = ds.load_frame(info)
         inp = make_test_input(frame, dc)
@@ -96,7 +97,16 @@ def run_inference(args) -> None:
         gt_pan = frame["pan"]
         save_frame(args.eval_dir, "gt", info["seq_id"], info["img_id"],
                    gt_pan, frame["depth"])
-        print(f"frame {info['seq_id']:06d}_{info['img_id']:06d} done", flush=True)
+        ovf = int(fo.track_overflow)
+        total_overflow += ovf
+        msg = f"frame {info['seq_id']:06d}_{info['img_id']:06d} done"
+        if ovf:
+            msg += (f"  WARNING: {ovf} kept thing segment(s) beyond tracker "
+                    f"capacity ({cfg.tracker.max_detections}) dropped to id 0")
+        print(msg, flush=True)
+    if total_overflow:
+        print(f"tracker capacity overflow total: {total_overflow} segments "
+              f"(raise tracker.max_detections)", flush=True)
 
 
 if __name__ == "__main__":
