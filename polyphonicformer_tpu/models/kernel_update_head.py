@@ -84,15 +84,15 @@ class KernelUpdateHead(nn.Module):
             depth_feat_masked, depth_proposal)
 
         obj_feat = MultiheadSelfAttention(c, self.num_heads, name="attention")(obj_feat)
-        obj_feat = nn.LayerNorm(name="attention_norm")(obj_feat)
+        obj_feat = nn.LayerNorm(epsilon=1e-5, name="attention_norm")(obj_feat)
         depth_feat_new = MultiheadSelfAttention(c, self.num_heads,
                                                 name="attention_depth")(depth_feat_new)
-        depth_feat_new = nn.LayerNorm(name="attention_norm_depth")(depth_feat_new)
+        depth_feat_new = nn.LayerNorm(epsilon=1e-5, name="attention_norm_depth")(depth_feat_new)
 
         if self.with_ffn:
-            obj_feat = nn.LayerNorm(name="ffn_norm")(
+            obj_feat = nn.LayerNorm(epsilon=1e-5, name="ffn_norm")(
                 FFN(c, self.feedforward_channels, name="ffn")(obj_feat))
-            depth_feat_new = nn.LayerNorm(name="ffn_norm_depth")(
+            depth_feat_new = nn.LayerNorm(epsilon=1e-5, name="ffn_norm_depth")(
                 FFN(c, self.feedforward_channels, name="ffn_depth")(depth_feat_new))
 
         cls_feat = obj_feat
@@ -102,19 +102,19 @@ class KernelUpdateHead(nn.Module):
         for i in range(self.num_cls_fcs):
             cls_feat = nn.Dense(c, use_bias=False, name=f"cls_fc{i}",
                                 kernel_init=_XAVIER)(cls_feat)
-            cls_feat = nn.LayerNorm(name=f"cls_ln{i}")(cls_feat)
+            cls_feat = nn.LayerNorm(epsilon=1e-5, name=f"cls_ln{i}")(cls_feat)
             cls_feat = nn.relu(cls_feat)
         for i in range(self.num_mask_fcs):
             mask_feat = nn.Dense(c, use_bias=False, name=f"mask_fc{i}",
                                  kernel_init=_XAVIER)(mask_feat)
-            mask_feat = nn.LayerNorm(name=f"mask_ln{i}")(mask_feat)
+            mask_feat = nn.LayerNorm(epsilon=1e-5, name=f"mask_ln{i}")(mask_feat)
             mask_feat = nn.relu(mask_feat)
         for i in range(self.num_mask_fcs):
             # depth regs: Linear + LN, NO activation
             # (kernel_update_head.py:182-188)
             depth_reg_feat = nn.Dense(c, use_bias=False, name=f"depth_fc{i}",
                                       kernel_init=_XAVIER)(depth_reg_feat)
-            depth_reg_feat = nn.LayerNorm(name=f"depth_ln{i}")(depth_reg_feat)
+            depth_reg_feat = nn.LayerNorm(epsilon=1e-5, name=f"depth_ln{i}")(depth_reg_feat)
 
         cls_score = nn.Dense(
             self.num_classes, name="fc_cls", kernel_init=_XAVIER,

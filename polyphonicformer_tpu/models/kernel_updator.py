@@ -28,17 +28,17 @@ class KernelUpdator(nn.Module):
         input_in, input_out = inputs[..., :c], inputs[..., c:]
 
         gate_feats = input_in * param_in
-        input_gate = nn.LayerNorm(name="input_norm_in")(
+        input_gate = nn.LayerNorm(epsilon=1e-5, name="input_norm_in")(
             nn.Dense(c, name="input_gate", kernel_init=_XAVIER)(gate_feats))
-        update_gate = nn.LayerNorm(name="norm_in")(
+        update_gate = nn.LayerNorm(epsilon=1e-5, name="norm_in")(
             nn.Dense(c, name="update_gate", kernel_init=_XAVIER)(gate_feats))
         input_gate = jax.nn.sigmoid(input_gate)
         update_gate = jax.nn.sigmoid(update_gate)
 
-        param_out = nn.LayerNorm(name="norm_out")(param_out)
-        input_out = nn.LayerNorm(name="input_norm_out")(input_out)
+        param_out = nn.LayerNorm(epsilon=1e-5, name="norm_out")(param_out)
+        input_out = nn.LayerNorm(epsilon=1e-5, name="input_norm_out")(input_out)
 
         features = update_gate * param_out + input_gate * input_out
         features = nn.Dense(c, name="fc_layer", kernel_init=_XAVIER)(features)
-        features = nn.LayerNorm(name="fc_norm")(features)
+        features = nn.LayerNorm(epsilon=1e-5, name="fc_norm")(features)
         return nn.relu(features)

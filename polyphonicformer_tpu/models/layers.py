@@ -52,8 +52,12 @@ class ConvNormAct(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         use_bias = self.use_bias if self.use_bias is not None else self.gn_groups == 0
+        # torch semantics: symmetric padding k//2 on both sides.  NOT "SAME" —
+        # for stride 2 on even sizes SAME pads (0, 1), shifting every window
+        # by one pixel relative to torch's pad=1 (checkpoint-parity breaker).
+        p = self.kernel_size // 2
         x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
-                    strides=(self.strides, self.strides), padding="SAME",
+                    strides=(self.strides, self.strides), padding=[(p, p), (p, p)],
                     use_bias=use_bias, kernel_init=self.kernel_init,
                     name="conv")(x)
         if self.gn_groups > 0:
@@ -93,7 +97,10 @@ class MultiheadSelfAttention(nn.Module):
         q = q.reshape(b, n, h, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, n, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, n, h, hd).transpose(0, 2, 1, 3)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd)
+        # scale q BEFORE the matmul (torch F.multi_head_attention_forward
+        # order; keeps fp32 rounding identical for checkpoint parity)
+        q = q / np.sqrt(hd).astype(np.float32)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)

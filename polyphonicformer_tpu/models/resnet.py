@@ -35,8 +35,10 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
         y = FrozenBatchNorm(self.planes, name="bn1")(y)
         y = nn.relu(y)
+        # explicit (1,1) padding == torch pad=1; "SAME" would pad (0,1) for
+        # stride 2 and shift the windows off the checkpoint's convention
         y = nn.Conv(self.planes, (3, 3), strides=(self.strides, self.strides),
-                    padding="SAME", use_bias=False, name="conv2")(y)
+                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(y)
         y = FrozenBatchNorm(self.planes, name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)

@@ -25,8 +25,9 @@ class ConvX(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        p = self.kernel // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.strides, self.strides), padding="SAME",
+                    strides=(self.strides, self.strides), padding=[(p, p), (p, p)],
                     use_bias=False, name="conv")(x)
         x = FrozenBatchNorm(self.features, name="bn")(x)
         return nn.relu(x)
@@ -63,7 +64,7 @@ class CatBottleneck(nn.Module):
             if idx == 0 and self.strides == 2:
                 # depthwise stride-2 "avd" layer on the first branch
                 dw = nn.Conv(out.shape[-1], (3, 3), strides=(2, 2),
-                             padding="SAME", feature_group_count=out.shape[-1],
+                             padding=[(1, 1), (1, 1)], feature_group_count=out.shape[-1],
                              use_bias=False, name="avd_conv")(out)
                 dw = FrozenBatchNorm(out.shape[-1], name="avd_bn")(dw)
                 out = ConvX(ch, name=f"conv{idx + 1}")(dw)
@@ -90,13 +91,13 @@ class AddBottleneck(nn.Module):
             out = ConvX(ch, kernel=1 if idx == 0 else 3, name=f"conv{idx}")(out)
             if idx == 0 and self.strides == 2:
                 dw = nn.Conv(out.shape[-1], (3, 3), strides=(2, 2),
-                             padding="SAME", feature_group_count=out.shape[-1],
+                             padding=[(1, 1), (1, 1)], feature_group_count=out.shape[-1],
                              use_bias=False, name="avd_conv")(out)
                 out = FrozenBatchNorm(out.shape[-1], name="avd_bn")(dw)
             outs.append(out)
         skip = x
         if self.strides == 2:
-            skip = nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding="SAME",
+            skip = nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                            feature_group_count=x.shape[-1], use_bias=False,
                            name="skip_dw")(x)
             skip = FrozenBatchNorm(x.shape[-1], name="skip_dw_bn")(skip)

@@ -109,7 +109,7 @@ class SwinBlock(nn.Module):
         b, h, w, c = x.shape
         ws = self.window_size
         shortcut = x
-        y = nn.LayerNorm(name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         # pad to window multiples (standard Swin behavior; cropped after)
         hp = (h + ws - 1) // ws * ws
         wp = (w + ws - 1) // ws * ws
@@ -128,7 +128,7 @@ class SwinBlock(nn.Module):
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
         y = y[:, :h, :w]
         x = shortcut + y
-        z = nn.LayerNorm(name="norm2")(x)
+        z = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         z = nn.Dense(int(c * self.mlp_ratio), name="mlp_fc1",
                      kernel_init=_XAVIER)(z)
         z = nn.gelu(z)
@@ -147,7 +147,7 @@ class PatchMerging(nn.Module):
             b, h, w, c = x.shape
         x = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(b, h // 2, w // 2, 4 * c)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(self.out_dim, use_bias=False, name="reduction",
                         kernel_init=_XAVIER)(x)
 
@@ -164,7 +164,7 @@ class SwinTransformer(nn.Module):
         levels at strides 4/8/16/32 (LayerNorm'd, like mmdet's out_norm)."""
         x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4),
                     name="patch_embed")(x)
-        x = nn.LayerNorm(name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
         outs = []
         dim = self.embed_dim
         for stage, depth in enumerate(self.depths):
@@ -173,7 +173,7 @@ class SwinTransformer(nn.Module):
                               window_size=self.window_size,
                               shift=0 if blk % 2 == 0 else self.window_size // 2,
                               name=f"stage{stage}_block{blk}")(x)
-            outs.append(nn.LayerNorm(name=f"out_norm{stage}")(x))
+            outs.append(nn.LayerNorm(epsilon=1e-5, name=f"out_norm{stage}")(x))
             if stage < len(self.depths) - 1:
                 dim *= 2
                 x = PatchMerging(dim, name=f"merge{stage}")(x)
