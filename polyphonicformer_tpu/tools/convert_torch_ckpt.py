@@ -173,7 +173,12 @@ def build_param_mapping(num_stages: int = 3, depth: str = "resnet50",
         for i in range(4):
             m.update(_prefix(_convnormact(f"track_head.convs.{i}"),
                              f"track_head/embed_mlp/conv{i}"))
-        m.update(_linear("track_head/embed_mlp/fc0", "track_head.fcs.0"))
+        # fc0 consumes the flattened 7x7 roi features: torch flattens
+        # (C, 7, 7) C-major, our NHWC tower flattens (7, 7, C) — reorder the
+        # input dimension (verified by tests/test_reference_video_parity.py)
+        m["track_head/embed_mlp/fc0/kernel"] = (
+            "track_head.fcs.0.weight", "linear_chw2hwc_7")
+        m["track_head/embed_mlp/fc0/bias"] = ("track_head.fcs.0.bias", "copy")
         m.update(_linear("track_head/embed_mlp/fc_embed", "track_head.fc_embed"))
 
     return m
@@ -188,6 +193,13 @@ def _transform(arr: np.ndarray, kind: str) -> np.ndarray:
         return np.transpose(arr, (1, 0))
     if kind == "squeeze11":
         return arr[:, :, 0, 0]
+    if kind.startswith("linear_chw2hwc_"):
+        # (O, C*k*k) with C-major input order -> (k*k*C, O) HWC-major
+        k = int(kind.rsplit("_", 1)[1])
+        o, ckk = arr.shape
+        c = ckk // (k * k)
+        w = arr.reshape(o, c, k, k).transpose(0, 2, 3, 1).reshape(o, -1)
+        return np.transpose(w, (1, 0))
     raise ValueError(kind)
 
 
@@ -200,6 +212,12 @@ def _inverse_transform(arr: np.ndarray, kind: str) -> np.ndarray:
         return np.transpose(arr, (1, 0))
     if kind == "squeeze11":
         return arr[:, :, None, None]
+    if kind.startswith("linear_chw2hwc_"):
+        k = int(kind.rsplit("_", 1)[1])
+        kkc, o = arr.shape
+        c = kkc // (k * k)
+        w = np.transpose(arr, (1, 0)).reshape(o, k, k, c)
+        return w.transpose(0, 3, 1, 2).reshape(o, -1)
     raise ValueError(kind)
 
 

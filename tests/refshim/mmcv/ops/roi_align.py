@@ -93,7 +93,9 @@ class RoIAlign(nn.Module):
     def __init__(self, output_size, spatial_scale=1.0, sampling_ratio=0,
                  pool_mode="avg", aligned=True, use_torchvision=False):
         super().__init__()
-        self.output_size = output_size
+        # mmcv normalizes via torch.nn.modules.utils._pair
+        self.output_size = ((output_size, output_size)
+                            if isinstance(output_size, int) else output_size)
         self.spatial_scale = spatial_scale
         self.sampling_ratio = sampling_ratio
         self.pool_mode = pool_mode

@@ -115,6 +115,10 @@ def install() -> types.ModuleType:
     iou_calc = importlib.import_module(
         "mmdet.core.bbox.iou_calculators.iou2d_calculator")
     importlib.import_module("mmdet.core.bbox.match_costs.builder")
+    iou_pkg = sys.modules["mmdet.core.bbox.iou_calculators"]
+    iou_pkg.bbox_overlaps = importlib.import_module(
+        "mmdet.core.bbox.iou_calculators.iou2d_calculator").bbox_overlaps
+    importlib.import_module("mmdet.core.bbox.match_costs.match_cost")
     importlib.import_module("mmdet.core.mask.structures")
     misc = importlib.import_module("mmdet.core.utils.misc")
     dist_utils = importlib.import_module("mmdet.core.utils.dist_utils")
