@@ -107,7 +107,8 @@ class CityscapesDVPSDataset:
                  ref_sample_mode: str = "img",
                  ref_seq_index: Sequence[int] = (),
                  with_depth: bool = True,
-                 test_mode: bool = False):
+                 test_mode: bool = False,
+                 ref_seq_len_test: int = 1):
         self.data_root = os.path.expanduser(data_root)
         seq_dir = os.path.join(self.data_root, "video_sequence", split)
         assert os.path.exists(seq_dir), seq_dir
@@ -139,6 +140,53 @@ class CityscapesDVPSDataset:
         elif ref_sample_mode == "random":
             # key frame + one random ref offset resolved at fetch time
             self.samples = [[im] for im in images]
+        elif ref_sample_mode == "sequence":
+            # all ref offsets must exist; clip ordered [key, refs...] with the
+            # most-negative offset first after the key frame (reference
+            # datasets/cityscapes_dvps.py:192-212: offsets reversed, then the
+            # whole list reversed so the key frame leads)
+            self.samples = []
+            for im in images:
+                clip = []
+                ok = True
+                for off in reversed(self.ref_seq_index):
+                    ref = self.by_key.get((im["seq_id"], im["img_id"] + off))
+                    if ref is None:
+                        ok = False
+                        break
+                    clip.append(ref)
+                if ok:
+                    clip.append(im)
+                    clip.reverse()
+                    self.samples.append(clip)
+        elif ref_sample_mode == "test":
+            # fixed-length chunks per sequence; the first frame of each chunk
+            # is duplicated as its own reference, and the final short chunk is
+            # right-padded by repeating its last frame (reference
+            # datasets/cityscapes_dvps.py:213-238)
+            n = ref_seq_len_test
+            if n == 0:
+                self.samples = [[im] for im in images]
+            elif n == 1:
+                self.samples = [[im, im] for im in images]
+            else:
+                self.samples = []
+                seq_id_pre, seq_now = -1, []
+                for im in images:
+                    if im["seq_id"] != seq_id_pre:
+                        seq_id_pre = im["seq_id"]
+                        if seq_now:
+                            while len(seq_now) < n + 1:
+                                seq_now.append(seq_now[-1])
+                            self.samples.append(seq_now)
+                        seq_now = [im, im]
+                    elif len(seq_now) % (n + 1) == 0:
+                        self.samples.append(seq_now)
+                        seq_now = [im, im]
+                    else:
+                        seq_now.append(im)
+                # NOTE the reference drops the trailing chunk here (its loop
+                # never flushes after the last image); replicated faithfully
         else:
             raise ValueError(ref_sample_mode)
 

@@ -1,0 +1,225 @@
+"""Multiprocess host input pipeline with a shared-memory sample ring.
+
+The reference feeds its GPUs from torch DataLoader worker PROCESSES
+(/root/reference/mmdet/datasets/builder.py:86-190).  Round 1 used a thread
+pool, which the GIL serializes: PNG decode releases it, but the aug/collate
+numpy work does not, capping throughput at ~1 core regardless of worker
+count.  This module gives the process-based equivalent, TPU-host flavored:
+
+* every produced sample has STATIC shapes (the pipeline pads to fixed
+  capacities), so samples travel through a preallocated
+  ``multiprocessing.shared_memory`` ring — one memcpy per field, no pickle
+  of the ~50MB 1024x2048 two-frame payload;
+* workers run the full scan->decode->aug->pad pipeline and resample
+  rejected clips themselves (reference ``_rand_another``,
+  datasets/cityscapes_dvps.py:311-316);
+* the parent only stitches batches from ready slots — its cost is one copy
+  per sample, overlapping device compute.
+
+Workers use the ``spawn`` start method: the parent holds JAX/TPU state and
+background threads, which ``fork`` would duplicate unsafely.
+"""
+from __future__ import annotations
+
+import dataclasses
+import multiprocessing as mp
+import queue as queue_mod
+from multiprocessing import shared_memory
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..configs import DataConfig, ModelConfig
+from .loader import _collate_gt
+from .structures import TrainBatch
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldSpec:
+    name: str
+    shape: Tuple[int, ...]
+    dtype: str
+
+    @property
+    def nbytes(self) -> int:
+        return int(np.prod(self.shape)) * np.dtype(self.dtype).itemsize
+
+
+def sample_field_specs(dc: DataConfig, mc: ModelConfig,
+                       two_frame: bool) -> List[FieldSpec]:
+    """Static layout of one pipeline output sample."""
+    h, w = dc.img_size
+    ah, aw = h // mc.mask_assign_stride, w // mc.mask_assign_stride
+    mt, ns = mc.max_things, mc.num_stuff_classes
+    per_frame = [
+        ("image", (h, w, 3), "float32"),
+        ("thing_masks", (mt, ah, aw), "float32"),
+        ("thing_labels", (mt,), "int32"),
+        ("thing_valid", (mt,), "bool"),
+        ("thing_inst_ids", (mt,), "int32"),
+        ("stuff_masks", (ns, ah, aw), "float32"),
+        ("stuff_valid", (ns,), "bool"),
+        ("depth", (ah, aw), "float32"),
+        ("valid_mask", (ah, aw), "float32"),
+    ]
+    specs = [FieldSpec(n, s, d) for n, s, d in per_frame]
+    if two_frame:
+        specs += [FieldSpec("ref_" + n, s, d) for n, s, d in per_frame]
+    return specs
+
+
+class _Ring:
+    """Preallocated shared-memory slots, each holding one flat sample."""
+
+    def __init__(self, specs: Sequence[FieldSpec], slots: int,
+                 create: bool, name: Optional[str] = None):
+        self.specs = list(specs)
+        self.slot_bytes = sum(s.nbytes for s in self.specs)
+        self.slots = slots
+        total = self.slot_bytes * slots
+        if create:
+            self.shm = shared_memory.SharedMemory(create=True, size=total)
+        else:
+            self.shm = shared_memory.SharedMemory(name=name)
+
+    def views(self, slot: int) -> Dict[str, np.ndarray]:
+        out = {}
+        off = slot * self.slot_bytes
+        for s in self.specs:
+            out[s.name] = np.ndarray(s.shape, dtype=s.dtype,
+                                     buffer=self.shm.buf, offset=off)
+            off += s.nbytes
+        return out
+
+    def close(self, unlink: bool = False):
+        self.shm.close()
+        if unlink:
+            try:
+                self.shm.unlink()
+            except FileNotFoundError:
+                pass
+
+
+def _worker_main(wid: int, seed: int, shm_name: str, slots: int,
+                 specs: List[FieldSpec], ds, dc: DataConfig, mc: ModelConfig,
+                 two_frame: bool, free_q, ready_q) -> None:
+    import random
+
+    from .pipeline import TrainPipeline
+
+    ring = _Ring(specs, slots, create=False, name=shm_name)
+    pipeline = TrainPipeline(dc, mc)
+    rng = random.Random(seed * 100003 + wid)
+    try:
+        while True:
+            slot = free_q.get()
+            if slot is None:
+                break
+            # produce one accepted sample (resample rejected clips)
+            while True:
+                idx = rng.randrange(len(ds))
+                pair = ds.get_pair(idx, rng)
+                if pair is None:
+                    continue
+                key, ref = pair
+                frames = [ds.load_frame(key)]
+                if two_frame:
+                    if ref is None:
+                        continue
+                    frames.append(ds.load_frame(ref))
+                out = pipeline(frames, rng)
+                if out is not None:
+                    break
+            views = ring.views(slot)
+            spec_names = {s.name for s in specs}
+            for name, arr in out[0].items():
+                if name in spec_names:
+                    views[name][...] = arr
+            if two_frame:
+                for name, arr in out[1].items():
+                    if "ref_" + name in spec_names:
+                        views["ref_" + name][...] = arr
+            ready_q.put(slot)
+    finally:
+        ring.close()
+
+
+class MPTrainLoader:
+    """Infinite shuffled train loader over worker processes."""
+
+    def __init__(self, dataset, data_cfg: DataConfig, model_cfg: ModelConfig,
+                 seed: int = 0, num_workers: Optional[int] = None,
+                 prefetch: int = 8):
+        self.ds = dataset
+        self.dc = data_cfg
+        self.mc = model_cfg
+        self.two_frame = bool(data_cfg.ref_seq_index)
+        self.num_workers = max(1, num_workers or data_cfg.num_workers)
+        self.specs = sample_field_specs(data_cfg, model_cfg, self.two_frame)
+        self.slots = max(prefetch, 2 * self.num_workers)
+        self.seed = seed
+        self._ring: Optional[_Ring] = None
+        self._procs: List[mp.process.BaseProcess] = []
+
+    def start(self) -> "MPTrainLoader":
+        ctx = mp.get_context("spawn")
+        self._ring = _Ring(self.specs, self.slots, create=True)
+        self._free_q = ctx.Queue()
+        self._ready_q = ctx.Queue()
+        for slot in range(self.slots):
+            self._free_q.put(slot)
+        for wid in range(self.num_workers):
+            p = ctx.Process(
+                target=_worker_main,
+                args=(wid, self.seed, self._ring.shm.name, self.slots,
+                      self.specs, self.ds, self.dc, self.mc, self.two_frame,
+                      self._free_q, self._ready_q),
+                daemon=True)
+            p.start()
+            self._procs.append(p)
+        return self
+
+    def stop(self) -> None:
+        for _ in self._procs:
+            try:
+                self._free_q.put(None)
+            except Exception:
+                pass
+        for p in self._procs:
+            p.join(timeout=5)
+            if p.is_alive():
+                p.terminate()
+        self._procs = []
+        if self._ring is not None:
+            self._ring.close(unlink=True)
+            self._ring = None
+
+    def _next_sample(self) -> Tuple[Dict, Optional[Dict]]:
+        slot = self._ready_q.get()
+        views = self._ring.views(slot)
+        key = {s.name: np.array(views[s.name], copy=True)
+               for s in self.specs if not s.name.startswith("ref_")}
+        ref = None
+        if self.two_frame:
+            ref = {s.name[4:]: np.array(views[s.name], copy=True)
+                   for s in self.specs if s.name.startswith("ref_")}
+        self._free_q.put(slot)
+        return key, ref
+
+    def __iter__(self) -> Iterator[TrainBatch]:
+        if not self._procs:
+            self.start()
+        b = self.dc.batch_size
+        while True:
+            samples = [self._next_sample() for _ in range(b)]
+            keys = [s[0] for s in samples]
+            image = np.stack([k.pop("image") for k in keys])
+            gt = _collate_gt(keys)
+            if self.two_frame:
+                refs = [s[1] for s in samples]
+                ref_image = np.stack([r.pop("image") for r in refs])
+                ref_gt = _collate_gt(refs)
+                yield TrainBatch(image=image, gt=gt, ref_image=ref_image,
+                                 ref_gt=ref_gt)
+            else:
+                yield TrainBatch(image=image, gt=gt)

@@ -29,10 +29,7 @@ def main() -> None:
 
     from ..configs import DataConfig, ModelConfig
     from ..data.cityscapes_dvps import CityscapesDVPSDataset
-    from ..data.pipeline import make_test_input
-    from ..evalutils.dvpq import evaluate_image
-    from ..infer.pipeline import make_image_step
-    from ..models import PolyphonicFormer
+    from ..evalutils.runner import evaluate_frames
 
     if args.preset:
         from ..configs import get_preset
@@ -41,7 +38,6 @@ def main() -> None:
         cfg, dc = exp.model, exp.data
     else:
         cfg, dc = ModelConfig(), DataConfig()
-    model = PolyphonicFormer(cfg)
     with open(args.checkpoint, "rb") as f:
         variables = pickle.load(f)
     variables = jax.tree_util.tree_map(jnp.asarray, variables)
@@ -50,33 +46,7 @@ def main() -> None:
                                ref_sample_mode="img", with_depth=True)
     frames = ds.images if args.max_frames is None else ds.images[:args.max_frames]
 
-    from ..data.cityscapes_dvps import INSTANCE_DIVISOR
-
-    step = None
-    pred_pans, gt_pans, pred_depths, gt_depths = [], [], [], []
-    for info in frames:
-        frame = ds.load_frame(info)
-        inp = make_test_input(frame, dc)
-        if step is None:
-            step = make_image_step(model, cfg, inp["ori_hw"])
-        res = step(variables, jnp.asarray(inp["image"])[None])
-        # cat_map * DIV + segment ids, stuff instances zeroed
-        # (datasets/cityscapes_dvps.py:366-377)
-        sem = np.asarray(res.semantic).astype(np.int64)
-        pan = np.asarray(res.panoptic).astype(np.int64)
-        is_thing_seg = np.zeros(int(np.asarray(res.seg_ids).max()) + 2, bool)
-        keep = np.asarray(res.keep)
-        for sid, th in zip(np.asarray(res.seg_ids)[keep],
-                           np.asarray(res.is_thing)[keep]):
-            is_thing_seg[sid] = th
-        inst = np.where(is_thing_seg[pan], pan, 0)
-        pred_pans.append(sem * INSTANCE_DIVISOR + inst)
-        gt_pans.append(frame["pan"])
-        pred_depths.append(np.asarray(res.depth))
-        gt_depths.append(frame["depth"])
-        print(f"frame {info['seq_id']:06d}_{info['img_id']:06d} done", flush=True)
-
-    metrics = evaluate_image(pred_pans, gt_pans, pred_depths, gt_depths)
+    metrics = evaluate_frames(cfg, dc, variables, ds, frames, verbose=True)
     for k, v in metrics.items():
         print(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}")
     if args.out:

@@ -37,13 +37,21 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--loader", choices=("process", "thread"),
+                    default="process",
+                    help="host pipeline backend: worker processes (shared-"
+                         "memory ring; the reference's DataLoader-worker "
+                         "equivalent) or GIL-bound threads (debug)")
+    ap.add_argument("--eval-every-epochs", type=int, default=1,
+                    help="run PQ/depth eval on the val split every N epochs "
+                         "(0 disables; reference EvalHook interval 1)")
+    ap.add_argument("--eval-max-images", type=int, default=50)
     ap.add_argument("--set", nargs="*", dest="overrides",
                     help="dotted-path config overrides key=value")
     args = ap.parse_args()
 
     from ..configs import apply_overrides, get_preset
     from ..data.cityscapes_dvps import CityscapesDVPSDataset
-    from ..data.loader import TrainLoader
     from ..models import PolyphonicFormer
     from ..parallel.mesh import make_mesh
     from ..train.checkpoint import make_manager, restore_state, save_state
@@ -63,7 +71,14 @@ def main() -> None:
         cfg.data.data_root, split=cfg.data.split,
         ref_sample_mode=cfg.data.ref_sample_mode,
         ref_seq_index=cfg.data.ref_seq_index, with_depth=True)
-    loader = TrainLoader(ds, cfg.data, cfg.model, seed=args.seed)
+    if args.loader == "process":
+        from ..data.mp_loader import MPTrainLoader
+
+        loader = MPTrainLoader(ds, cfg.data, cfg.model, seed=args.seed)
+    else:
+        from ..data.loader import TrainLoader
+
+        loader = TrainLoader(ds, cfg.data, cfg.model, seed=args.seed)
 
     dataset_len = len(ds) * cfg.data.repeat_times
     steps_per_epoch = max(dataset_len // cfg.data.batch_size, 1)
@@ -95,15 +110,43 @@ def main() -> None:
     step_fn = make_sharded_train_step(model, cfg.model, tx, mesh, video=video)
     writer = MetricWriter(cfg.work_dir, cfg.schedule.log_interval)
 
+    # periodic eval during training (reference EvalHook,
+    # mmdet/apis/train.py:183-204); disabled automatically when no val split
+    eval_hook = None
+    if args.eval_every_epochs > 0:
+        from ..evalutils.runner import make_eval_hook
+
+        eval_hook = make_eval_hook(
+            cfg, lambda: {"params": state.params, **state.consts},
+            max_images=args.eval_max_images)
+    eval_every = steps_per_epoch * max(args.eval_every_epochs, 1)
+
+    import time
+
     ckpt_every = steps_per_epoch * cfg.schedule.checkpoint_interval
     start = int(state.step)
     it = iter(loader)
+    t_log = time.perf_counter()
+    samples_done = 0
     for step_idx in range(start, total_steps):
         batch = next(it)
         state, metrics = step_fn(state, batch)
+        samples_done += cfg.data.batch_size
+        if (step_idx + 1) % cfg.schedule.log_interval == 0:
+            dt = time.perf_counter() - t_log
+            sps = samples_done / max(dt, 1e-9)
+            steps_left = total_steps - (step_idx + 1)
+            eta_min = steps_left * (dt / cfg.schedule.log_interval) / 60
+            metrics = dict(metrics)
+            metrics["samples_per_sec"] = sps
+            metrics["eta_min"] = eta_min
+            t_log = time.perf_counter()
+            samples_done = 0
         writer.write(step_idx + 1, metrics)
         if (step_idx + 1) % ckpt_every == 0 or step_idx + 1 == total_steps:
             save_state(mgr, step_idx + 1, jax.device_get(state))
+        if eval_hook is not None and (step_idx + 1) % eval_every == 0:
+            eval_hook(step_idx + 1)
     loader.stop()
     writer.close()
     print("training done")

@@ -91,3 +91,33 @@ def test_loader_and_train_step(dataset_root):
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["total_loss"]))
     assert float(metrics["skipped_nonfinite"]) == 0.0
+
+
+def test_mp_loader(dataset_root):
+    """Process-based loader: shared-memory ring delivers well-formed batches
+    identical in structure to the thread loader's."""
+    from polyphonicformer_tpu.configs import get_preset
+    from polyphonicformer_tpu.data.cityscapes_dvps import CityscapesDVPSDataset
+    from polyphonicformer_tpu.data.mp_loader import MPTrainLoader
+
+    cfg = get_preset("debug_tiny_video")
+    ds = CityscapesDVPSDataset(dataset_root, split="train",
+                               ref_sample_mode="random",
+                               ref_seq_index=cfg.data.ref_seq_index)
+    loader = MPTrainLoader(ds, cfg.data, cfg.model, num_workers=2, prefetch=4)
+    try:
+        it = iter(loader)
+        for _ in range(3):  # multiple batches: slots get recycled
+            batch = next(it)
+            assert batch.image.shape == (1, 128, 256, 3)
+            assert batch.image.dtype == np.float32
+            assert batch.ref_image.shape == (1, 128, 256, 3)
+            assert batch.gt.thing_masks.shape == (1, cfg.model.max_things, 32, 64)
+            assert batch.gt.thing_valid.any()
+            assert batch.gt.depth.max() <= cfg.data.max_depth
+            kids = set(batch.gt.thing_inst_ids[0][batch.gt.thing_valid[0]].tolist())
+            rids = set(batch.ref_gt.thing_inst_ids[0][
+                batch.ref_gt.thing_valid[0]].tolist())
+            assert kids & rids
+    finally:
+        loader.stop()
