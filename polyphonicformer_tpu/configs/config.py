@@ -159,6 +159,10 @@ class ModelConfig:
     # rematerialize backbone blocks in the backward pass (trades FLOPs for
     # HBM — required for full-res 1024x2048 training on one chip)
     remat_backbone: bool = True
+    # tensor-shard the backbone (Swin only) over the 'model' mesh axis:
+    # Dense kernels carry flax logical-axis metadata (models/swin.py
+    # SWIN_LOGICAL_RULES) so multi-chip serving can shard Swin-L
+    shard_backbone: bool = False
 
     @property
     def num_classes(self) -> int:

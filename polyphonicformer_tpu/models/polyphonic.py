@@ -48,7 +48,9 @@ class PolyphonicFormer(nn.Module):
                     "swin_large": (192, (2, 2, 18, 2), (6, 12, 24, 48))}
             dim, depths, heads = spec[cfg.backbone]
             bb_cls = nn.remat(SwinTransformer) if cfg.remat_backbone else SwinTransformer
-            self.backbone = bb_cls(dim, depths, heads, name="backbone")
+            self.backbone = bb_cls(dim, depths, heads,
+                                   partition=cfg.shard_backbone,
+                                   name="backbone")
         elif cfg.backbone.startswith("stdc"):
             from .stdc import STDCNet
 

@@ -8,8 +8,15 @@ merging between stages; returns 4 feature levels (strides 4/8/16/32).
 Window partitioning uses static reshapes (inputs are padded to window
 multiples), and the shifted-window attention mask is precomputed per stage —
 no dynamic shapes anywhere, so the whole backbone is one XLA program.
-The ``model`` mesh axis can shard the MLP/attention projections for Swin-L
-multi-chip serving (logical axis annotations on the Dense kernels).
+
+Tensor parallelism (Swin-L multi-chip serving): with ``partition=True`` every
+Dense kernel/bias carries flax logical-axis metadata
+(``nn.with_logical_partitioning``) in the Megatron layout — qkv/MLP-fc1
+column-sharded over 'model', attention-proj/MLP-fc2 row-sharded — and
+``SWIN_LOGICAL_RULES`` maps those logical names onto the ('data', 'model')
+mesh of parallel/mesh.py.  XLA's SPMD partitioner then inserts the
+all-reduces the reference never needed (it serves Swin on one GPU).
+Extract concrete shardings with ``parallel.mesh.logical_param_shardings``.
 """
 from __future__ import annotations
 
@@ -21,6 +28,33 @@ import jax.numpy as jnp
 import numpy as np
 
 _XAVIER = nn.initializers.xavier_uniform()
+_ZEROS = nn.initializers.zeros
+
+# logical axis -> mesh axis. 'embed' (the residual stream) stays replicated;
+# head and MLP-hidden dims shard over 'model'.
+SWIN_LOGICAL_RULES = (
+    ("swin_embed", None),
+    ("swin_heads", "model"),
+    ("swin_mlp", "model"),
+    ("swin_merge", None),
+    # the bias table is tiny and its head count can be odd (swin-tiny stage0
+    # has 3 heads) -> keep it replicated; XLA reshards the gathered bias
+    ("swin_rpb", None),
+    ("swin_rpb_heads", None),
+)
+
+
+def _dense(features: int, name: str, axes: Tuple[str | None, str | None],
+           partition: bool, use_bias: bool = True) -> nn.Dense:
+    """nn.Dense whose kernel (and bias, when its dim is sharded) carries
+    logical partitioning metadata when ``partition`` is on."""
+    if not partition:
+        return nn.Dense(features, name=name, use_bias=use_bias,
+                        kernel_init=_XAVIER)
+    return nn.Dense(
+        features, name=name, use_bias=use_bias,
+        kernel_init=nn.with_logical_partitioning(_XAVIER, axes),
+        bias_init=nn.with_logical_partitioning(_ZEROS, (axes[1],)))
 
 
 def window_partition(x: jax.Array, ws: int) -> jax.Array:
@@ -66,6 +100,7 @@ class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window_size: int
+    partition: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None) -> jax.Array:
@@ -73,15 +108,19 @@ class WindowAttention(nn.Module):
         nw, l, c = x.shape
         h = self.num_heads
         hd = c // h
-        qkv = nn.Dense(3 * c, name="qkv", kernel_init=_XAVIER)(x)
+        qkv = _dense(3 * c, "qkv", ("swin_embed", "swin_heads"),
+                     self.partition)(x)
         q, k, v = jnp.split(qkv.reshape(nw, l, 3, h, hd).transpose(2, 0, 3, 1, 4),
                             3, axis=0)
         q, k, v = q[0], k[0], v[0]  # (nW, h, L, hd)
         attn = jnp.einsum("whqd,whkd->whqk", q, k) / np.sqrt(hd)
 
+        rpb_init = nn.initializers.truncated_normal(0.02)
+        if self.partition:
+            rpb_init = nn.with_logical_partitioning(
+                rpb_init, ("swin_rpb", "swin_rpb_heads"))
         rpb_table = self.param(
-            "relative_position_bias_table",
-            nn.initializers.truncated_normal(0.02),
+            "relative_position_bias_table", rpb_init,
             ((2 * self.window_size - 1) ** 2, h))
         idx = jnp.asarray(_relative_position_index(self.window_size))
         bias = rpb_table[idx.reshape(-1)].reshape(l, l, h).transpose(2, 0, 1)
@@ -94,7 +133,8 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = jnp.einsum("whqk,whkd->whqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(nw, l, c)
-        return nn.Dense(c, name="proj", kernel_init=_XAVIER)(out)
+        return _dense(c, "proj", ("swin_heads", "swin_embed"),
+                      self.partition)(out)
 
 
 class SwinBlock(nn.Module):
@@ -103,6 +143,7 @@ class SwinBlock(nn.Module):
     window_size: int = 7
     shift: int = 0
     mlp_ratio: float = 4.0
+    partition: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -122,22 +163,25 @@ class SwinBlock(nn.Module):
         else:
             mask = None
         win = window_partition(y, ws)
-        win = WindowAttention(self.dim, self.num_heads, ws, name="attn")(win, mask)
+        win = WindowAttention(self.dim, self.num_heads, ws,
+                              partition=self.partition, name="attn")(win, mask)
         y = window_unpartition(win, ws, (hp, wp))
         if self.shift > 0:
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
         y = y[:, :h, :w]
         x = shortcut + y
         z = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        z = nn.Dense(int(c * self.mlp_ratio), name="mlp_fc1",
-                     kernel_init=_XAVIER)(z)
-        z = nn.gelu(z)
-        z = nn.Dense(c, name="mlp_fc2", kernel_init=_XAVIER)(z)
+        z = _dense(int(c * self.mlp_ratio), "mlp_fc1",
+                   ("swin_embed", "swin_mlp"), self.partition)(z)
+        z = nn.gelu(z, approximate=False)  # exact erf: torch nn.GELU default
+        z = _dense(c, "mlp_fc2", ("swin_mlp", "swin_embed"),
+                   self.partition)(z)
         return x + z
 
 
 class PatchMerging(nn.Module):
     out_dim: int
+    partition: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -148,8 +192,8 @@ class PatchMerging(nn.Module):
         x = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(b, h // 2, w // 2, 4 * c)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
-        return nn.Dense(self.out_dim, use_bias=False, name="reduction",
-                        kernel_init=_XAVIER)(x)
+        return _dense(self.out_dim, "reduction", ("swin_merge", "swin_embed"),
+                      self.partition, use_bias=False)(x)
 
 
 class SwinTransformer(nn.Module):
@@ -157,6 +201,7 @@ class SwinTransformer(nn.Module):
     depths: Tuple[int, ...] = (2, 2, 6, 2)
     num_heads: Tuple[int, ...] = (3, 6, 12, 24)
     window_size: int = 7
+    partition: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, ...]:
@@ -172,11 +217,13 @@ class SwinTransformer(nn.Module):
                 x = SwinBlock(dim, self.num_heads[stage],
                               window_size=self.window_size,
                               shift=0 if blk % 2 == 0 else self.window_size // 2,
+                              partition=self.partition,
                               name=f"stage{stage}_block{blk}")(x)
             outs.append(nn.LayerNorm(epsilon=1e-5, name=f"out_norm{stage}")(x))
             if stage < len(self.depths) - 1:
                 dim *= 2
-                x = PatchMerging(dim, name=f"merge{stage}")(x)
+                x = PatchMerging(dim, partition=self.partition,
+                                 name=f"merge{stage}")(x)
         return tuple(outs)
 
 

@@ -53,6 +53,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def logical_param_shardings(mesh: Mesh, abstract_variables, rules=None):
+    """Logical-axis metadata (``nn.with_logical_partitioning`` on the Swin
+    Dense kernels, models/swin.py) -> concrete ``NamedSharding`` tree.
+
+    ``abstract_variables`` is a (possibly ``jax.eval_shape``-abstract) boxed
+    variable tree from ``model.init``; leaves without metadata replicate.
+    """
+    import flax.linen as nn
+
+    if rules is None:
+        from ..models.swin import SWIN_LOGICAL_RULES
+
+        rules = SWIN_LOGICAL_RULES
+    specs = nn.get_partition_spec(abstract_variables)
+    return nn.logical_to_mesh_sharding(specs, mesh, rules)
+
+
 def shard_batch_pytree(mesh: Mesh, batch):
     """Device-put a host pytree with the leading axis sharded over 'data'."""
     sh = batch_sharding(mesh)

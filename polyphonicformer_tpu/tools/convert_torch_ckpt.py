@@ -26,6 +26,8 @@ from typing import Dict, Tuple
 import numpy as np
 
 _STAGE_BLOCKS = {"resnet50": (3, 4, 6, 3)}
+# (embed_dim ignored here; only depths matter for key layout)
+_SWIN_DEPTHS = {"swin_tiny": (2, 2, 6, 2), "swin_large": (2, 2, 18, 2)}
 
 
 def _convnormact(torch_prefix: str, has_gn: bool = True):
@@ -65,6 +67,49 @@ def _frozen_bn(flax_path: str, torch_prefix: str) -> Dict:
     }
 
 
+def _swin_mapping(depths) -> Dict[str, Tuple[str, str]]:
+    """Swin backbone mapping, mmdet state-dict layout
+    (/root/reference/mmdet/models/backbones/swin.py:449-521: stages.{s}
+    .blocks.{b}.{norm1,attn.w_msa,norm2,ffn}, .downsample, out norm{i};
+    PatchEmbed/PatchMerging: mmdet/models/utils/transformer.py:198-338).
+
+    The mmdet relative_position_index (double_step_seq + flip,
+    swin.py:64-69) expands to the standard (dy+Wh-1)*(2Ww-1)+(dx+Ww-1)
+    formula our models/swin.py uses, so the bias table copies verbatim.
+    PatchMerging samples 2x2 patches with nn.Unfold (channel-major
+    (C, ph, pw) input order); our NHWC merge flattens (ph, pw, C), hence
+    the chw->hwc reorder on the reduction weight and the pre-norm vector.
+    """
+    m: Dict[str, Tuple[str, str]] = {}
+    m["backbone/patch_embed/kernel"] = (
+        "backbone.patch_embed.projection.weight", "conv")
+    m["backbone/patch_embed/bias"] = (
+        "backbone.patch_embed.projection.bias", "copy")
+    m.update(_ln("backbone/patch_norm", "backbone.patch_embed.norm"))
+    for s, depth_s in enumerate(depths):
+        for b in range(depth_s):
+            fp = f"backbone/stage{s}_block{b}"
+            tp = f"backbone.stages.{s}.blocks.{b}"
+            m.update(_ln(f"{fp}/norm1", f"{tp}.norm1"))
+            m.update(_linear(f"{fp}/attn/qkv", f"{tp}.attn.w_msa.qkv"))
+            m.update(_linear(f"{fp}/attn/proj", f"{tp}.attn.w_msa.proj"))
+            m[f"{fp}/attn/relative_position_bias_table"] = (
+                f"{tp}.attn.w_msa.relative_position_bias_table", "copy")
+            m.update(_ln(f"{fp}/norm2", f"{tp}.norm2"))
+            m.update(_linear(f"{fp}/mlp_fc1", f"{tp}.ffn.layers.0.0"))
+            m.update(_linear(f"{fp}/mlp_fc2", f"{tp}.ffn.layers.1"))
+        if s < len(depths) - 1:
+            dp = f"backbone.stages.{s}.downsample"
+            m[f"backbone/merge{s}/norm/scale"] = (f"{dp}.norm.weight",
+                                                  "vec_chw2hwc_2")
+            m[f"backbone/merge{s}/norm/bias"] = (f"{dp}.norm.bias",
+                                                 "vec_chw2hwc_2")
+            m[f"backbone/merge{s}/reduction/kernel"] = (
+                f"{dp}.reduction.weight", "linear_chw2hwc_2")
+        m.update(_ln(f"backbone/out_norm{s}", f"backbone.norm{s}"))
+    return m
+
+
 def build_param_mapping(num_stages: int = 3, depth: str = "resnet50",
                         with_track: bool = False,
                         num_cls_fcs: int = 1, num_mask_fcs: int = 1
@@ -74,19 +119,27 @@ def build_param_mapping(num_stages: int = 3, depth: str = "resnet50",
     m: Dict[str, Tuple[str, str]] = {}
 
     # ---- backbone ------------------------------------------------------
-    m["backbone/conv1/kernel"] = ("backbone.conv1.weight", "conv")
-    m.update(_frozen_bn("backbone/bn1", "backbone.bn1"))
-    for s, blocks in enumerate(_STAGE_BLOCKS[depth]):
-        for b in range(blocks):
-            fp = f"backbone/layer{s + 1}_{b}"
-            tp = f"backbone.layer{s + 1}.{b}"
-            for c in (1, 2, 3):
-                m[f"{fp}/conv{c}/kernel"] = (f"{tp}.conv{c}.weight", "conv")
-                m.update(_frozen_bn(f"{fp}/bn{c}", f"{tp}.bn{c}"))
-            if b == 0:
-                m[f"{fp}/downsample_conv/kernel"] = (
-                    f"{tp}.downsample.0.weight", "conv")
-                m.update(_frozen_bn(f"{fp}/downsample_bn", f"{tp}.downsample.1"))
+    if depth in _SWIN_DEPTHS:
+        m.update(_swin_mapping(_SWIN_DEPTHS[depth]))
+    elif depth not in _STAGE_BLOCKS:
+        raise ValueError(
+            f"unknown backbone {depth!r}; converter supports "
+            f"{sorted(_STAGE_BLOCKS) + sorted(_SWIN_DEPTHS)}")
+    else:
+        m["backbone/conv1/kernel"] = ("backbone.conv1.weight", "conv")
+        m.update(_frozen_bn("backbone/bn1", "backbone.bn1"))
+        for s, blocks in enumerate(_STAGE_BLOCKS[depth]):
+            for b in range(blocks):
+                fp = f"backbone/layer{s + 1}_{b}"
+                tp = f"backbone.layer{s + 1}.{b}"
+                for c in (1, 2, 3):
+                    m[f"{fp}/conv{c}/kernel"] = (f"{tp}.conv{c}.weight", "conv")
+                    m.update(_frozen_bn(f"{fp}/bn{c}", f"{tp}.bn{c}"))
+                if b == 0:
+                    m[f"{fp}/downsample_conv/kernel"] = (
+                        f"{tp}.downsample.0.weight", "conv")
+                    m.update(_frozen_bn(f"{fp}/downsample_bn",
+                                        f"{tp}.downsample.1"))
 
     # ---- neck ------------------------------------------------------------
     for i in range(4):
@@ -200,6 +253,11 @@ def _transform(arr: np.ndarray, kind: str) -> np.ndarray:
         c = ckk // (k * k)
         w = arr.reshape(o, c, k, k).transpose(0, 2, 3, 1).reshape(o, -1)
         return np.transpose(w, (1, 0))
+    if kind.startswith("vec_chw2hwc_"):
+        # 1-D (C*k*k,) C-major -> (k*k*C,) HWC-major (LN over merged patches)
+        k = int(kind.rsplit("_", 1)[1])
+        c = arr.shape[0] // (k * k)
+        return arr.reshape(c, k, k).transpose(1, 2, 0).reshape(-1)
     raise ValueError(kind)
 
 
@@ -218,6 +276,10 @@ def _inverse_transform(arr: np.ndarray, kind: str) -> np.ndarray:
         c = kkc // (k * k)
         w = np.transpose(arr, (1, 0)).reshape(o, k, k, c)
         return w.transpose(0, 3, 1, 2).reshape(o, -1)
+    if kind.startswith("vec_chw2hwc_"):
+        k = int(kind.rsplit("_", 1)[1])
+        c = arr.shape[0] // (k * k)
+        return arr.reshape(k, k, c).transpose(2, 0, 1).reshape(-1)
     raise ValueError(kind)
 
 
@@ -264,25 +326,27 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], model_cfg) -> Dict:
             "batch_stats": unflatten_tree(stats_flat)}
 
 
-def self_test() -> None:
+def self_test(backbone: str = "resnet50") -> None:
     """Round-trip validation: flax init tree -> synthetic torch state_dict ->
-    convert -> identical tree (up to dtype)."""
+    convert -> identical tree (up to dtype).  Structure comes from
+    ``jax.eval_shape`` (no real init), values from the synthetic state dict."""
     import jax
     import jax.numpy as jnp
 
     from ..configs import ModelConfig
     from ..models import PolyphonicFormer
 
-    cfg = ModelConfig(out_channels=64, in_channels=64, fpn_out_channels=64,
-                      feedforward_channels=128, num_proposals=10,
-                      with_track=True)
+    cfg = ModelConfig(backbone=backbone, out_channels=64, in_channels=64,
+                      fpn_out_channels=64, feedforward_channels=128,
+                      num_proposals=10, with_track=True)
     model = PolyphonicFormer(cfg)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)),
-                           method=PolyphonicFormer.init_all)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)),
+                           method=PolyphonicFormer.init_all))
     mapping = build_param_mapping(cfg.num_stages, cfg.backbone, cfg.with_track)
 
     flat_params = flatten_tree(variables["params"])
-    flat_stats = flatten_tree(variables["batch_stats"])
+    flat_stats = flatten_tree(variables.get("batch_stats", {}))
     all_flat = dict(flat_params)
     all_flat.update({f"BATCHSTATS::{k}": v for k, v in flat_stats.items()})
 
@@ -297,20 +361,20 @@ def self_test() -> None:
     sd = {}
     rng = np.random.RandomState(0)
     for flax_path, (torch_key, kind) in mapping.items():
-        flax_arr = np.asarray(all_flat[flax_path])
         sd[torch_key] = _inverse_transform(
-            rng.randn(*flax_arr.shape).astype(np.float32), kind)
+            rng.randn(*all_flat[flax_path].shape).astype(np.float32), kind)
 
     converted = convert_state_dict(sd, cfg)
     conv_flat = flatten_tree(converted["params"])
     stat_flat = flatten_tree(converted["batch_stats"])
     for path, arr in flat_params.items():
-        assert conv_flat[path].shape == np.asarray(arr).shape, path
+        assert conv_flat[path].shape == arr.shape, path
         want = _transform(sd[mapping[path][0]], mapping[path][1])
         np.testing.assert_array_equal(conv_flat[path], want)
     for path, arr in flat_stats.items():
-        assert stat_flat[path].shape == np.asarray(arr).shape, path
-    print(f"self-test OK: {len(mapping)} parameters mapped bijectively")
+        assert stat_flat[path].shape == arr.shape, path
+    print(f"self-test OK ({backbone}): "
+          f"{len(mapping)} parameters mapped bijectively")
 
 
 def main() -> None:
@@ -318,10 +382,13 @@ def main() -> None:
     ap.add_argument("--ckpt", help="path to reference .pth checkpoint")
     ap.add_argument("--out", help="output .pkl for the converted variables")
     ap.add_argument("--video", action="store_true", help="video model (track head)")
+    ap.add_argument("--backbone", default="resnet50",
+                    help="resnet50 | swin_tiny | swin_large")
     ap.add_argument("--self-test", action="store_true")
     args = ap.parse_args()
     if args.self_test:
-        self_test()
+        self_test("resnet50")
+        self_test("swin_tiny")
         return
     import torch
 
@@ -330,7 +397,7 @@ def main() -> None:
     raw = torch.load(args.ckpt, map_location="cpu")
     sd = raw.get("state_dict", raw)
     sd = {k: v.numpy() for k, v in sd.items()}
-    cfg = ModelConfig(with_track=args.video)
+    cfg = ModelConfig(with_track=args.video, backbone=args.backbone)
     variables = convert_state_dict(sd, cfg)
     with open(args.out, "wb") as f:
         pickle.dump(variables, f)

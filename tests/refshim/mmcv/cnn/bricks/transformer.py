@@ -27,6 +27,26 @@ class _Dropout(nn.Dropout):
         super().__init__(p=drop_prob, inplace=inplace)
 
 
+@DROPOUT_LAYERS.register_module(name="DropPath")
+class _DropPath(nn.Module):
+    """Stochastic depth (mmcv/cnn/bricks/drop.py semantics): per-sample
+    residual drop in train mode; identity in eval."""
+
+    def __init__(self, drop_prob=0.0):
+        super().__init__()
+        self.drop_prob = drop_prob
+
+    def forward(self, x):
+        if self.drop_prob == 0.0 or not self.training:
+            return x
+        import torch
+
+        keep = 1.0 - self.drop_prob
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = x.new_empty(shape).bernoulli_(keep)
+        return x * mask / keep
+
+
 def build_dropout(cfg, default_args=None):
     return build_from_cfg(cfg, DROPOUT_LAYERS, default_args)
 
@@ -138,3 +158,32 @@ class FFN(nn.Module):
         if identity is None:
             identity = x
         return identity + self.dropout_layer(out)
+
+
+def build_transformer_layer_sequence(cfg, default_args=None):
+    return build_from_cfg(cfg, TRANSFORMER_LAYER_SEQUENCE, default_args)
+
+
+class BaseTransformerLayer(nn.Module):
+    """Skeleton base for mmdet's DETR layer subclasses: their class
+    DEFINITIONS execute at import of mmdet/models/utils/transformer.py, but
+    the Polyphonic/Swin graph never instantiates them."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__()
+        raise NotImplementedError(
+            "refshim: BaseTransformerLayer is import-only")
+
+
+class TransformerLayerSequence(nn.Module):
+    def __init__(self, *args, **kwargs):
+        super().__init__()
+        raise NotImplementedError(
+            "refshim: TransformerLayerSequence is import-only")
+
+
+class MultiScaleDeformableAttention(nn.Module):
+    def __init__(self, *args, **kwargs):
+        super().__init__()
+        raise NotImplementedError(
+            "refshim: MultiScaleDeformableAttention is import-only")

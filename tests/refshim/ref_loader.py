@@ -212,3 +212,17 @@ def install() -> types.ModuleType:
     poly.PolyphonicVideo = former_video.PolyphonicVideo
     poly.builder = builder
     return poly
+
+
+def load_swin():
+    """Import the REAL mmdet SwinTransformer
+    (/root/reference/mmdet/models/backbones/swin.py) through the shim and
+    return that module.  Separate from install(): the polyphonic graph
+    itself never uses Swin (the reference ships R50 configs only), but the
+    converter's Swin mapping is parity-tested against this code."""
+    install()
+    import importlib
+
+    importlib.import_module("mmdet.models.utils.ckpt_convert")
+    importlib.import_module("mmdet.models.utils.transformer")
+    return importlib.import_module("mmdet.models.backbones.swin")

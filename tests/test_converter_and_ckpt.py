@@ -19,6 +19,10 @@ def test_converter_bijective_mapping():
     self_test()
 
 
+def test_converter_bijective_mapping_swin():
+    self_test("swin_tiny")
+
+
 def test_orbax_roundtrip(tmp_path):
     cfg = ExperimentConfig(model=ModelConfig(
         out_channels=64, in_channels=64, fpn_out_channels=64,
