@@ -111,7 +111,17 @@ class PanopticResult(NamedTuple):
     is_thing: jax.Array  # (K,) bool
     instance_ids: jax.Array  # (K,) int32 candidate index (reference's k)
     areas: jax.Array  # (K,) int32 argmax-region areas
-    masks: jax.Array  # (K, H, W) bool final segment masks (kept rows only)
+    masks: jax.Array  # (K, H, W) bool final segment masks (kept rows only);
+    # None when emit_marginals=True (marginals replace every consumer)
+    # with emit_marginals=True: per-candidate argmax-region row/col counts
+    # (NOT keep-gated) and the raw pixel argmax — together they replace the
+    # (K, H, W) stack for boxes/areas/track-map
+    row_marg: jax.Array | None = None  # (K, H) float32
+    col_marg: jax.Array | None = None  # (K, W) float32
+    pix_arg: jax.Array | None = None  # (H, W) int32 winning candidate
+    # with defer_maps=True: the winner-depth map (panoptic/semantic/depth are
+    # None; the caller renders all maps in one pallas pass, map_render.py)
+    depth_pix: jax.Array | None = None  # (H, W) float32
 
 
 def fuse_panoptic(cfg: ModelConfig,
@@ -121,7 +131,9 @@ def fuse_panoptic(cfg: ModelConfig,
                   depth_init_logits: jax.Array,
                   out_hw: Tuple[int, int],
                   fusion_dtype=jnp.float32,
-                  num_track_masks: int | None = None) -> PanopticResult:
+                  num_track_masks: int | None = None,
+                  emit_marginals: bool = False,
+                  defer_maps: bool = False) -> PanopticResult:
     """Args (single image, final refinement stage, stride-8/4 resolution):
       cls_probs: (111, C) sigmoid class probabilities.
       mask_logits: (111, h, w) mask logits.
@@ -130,6 +142,11 @@ def fuse_panoptic(cfg: ModelConfig,
       out_hw: original image size (H, W).
       fusion_dtype: bfloat16 halves the HBM traffic of the full-resolution
         candidate stacks (serving fast path); float32 is reference-exact.
+      emit_marginals: return row/col argmax-region marginals + pix_arg and
+        SKIP materializing the (K, H, W) mask stack — every downstream
+        consumer (tight boxes, MAD RoI boxes, track-id map) is a function
+        of the marginals/argmax, so the video path avoids writing and
+        re-reading ~128MB per frame.
     """
     nt = cfg.num_thing_classes
     ns = cfg.num_stuff_classes
@@ -174,27 +191,30 @@ def fuse_panoptic(cfg: ModelConfig,
     phased = (h % hs == 0 and w % ws == 0 and 1 <= h // hs <= 8
               and 1 <= w // ws <= 8)
     scores_d = scores.astype(fusion_dtype)
+    row_marg = col_marg = None
     if phased and fusion_dtype != jnp.float32 and _use_pallas_fusion():
         from ..ops.pallas.phase_fusion import phase_fusion
 
         fy, fx = h // hs, w // ws
-        pix_arg, depth_pix, marea, oarea = phase_fusion(
+        pix_arg, depth_pix, row_marg, col_marg, oarea = phase_fusion(
             masks_small, scores, depth_small, fy, fx)
-        mask_area = marea.astype(jnp.int32)
+        mask_area = row_marg.sum(axis=1).astype(jnp.int32)
         orig_area = oarea.astype(jnp.int32)
         masks = None
     elif phased:
         fy, fx = h // hs, w // ws
-        mask_area = jnp.zeros((kk,), jnp.int32)
         orig_area = jnp.zeros((kk,), jnp.int32)
         pix_tiles, depth_tiles = [], []
+        rowm = [jnp.zeros((kk, hs), jnp.float32) for _ in range(fy)]
+        colm = [jnp.zeros((kk, ws), jnp.float32) for _ in range(fx)]
         for py in range(fy):
             for px in range(fx):
                 up = _phase_upsample(masks_small, py, px, fy, fx)
                 prob = scores_d[:, None, None] * up
                 pa = jnp.argmax(prob, axis=0)
                 region_p = pa[None] == jnp.arange(kk, dtype=pa.dtype)[:, None, None]
-                mask_area = mask_area + region_p.sum(axis=(1, 2)).astype(jnp.int32)
+                rowm[py] = rowm[py] + region_p.sum(axis=2)
+                colm[px] = colm[px] + region_p.sum(axis=1)
                 orig_area = orig_area + (up >= 0.5).sum(axis=(1, 2)).astype(jnp.int32)
                 dup = _phase_upsample(depth_small, py, px, fy, fx)
                 dsel = jnp.einsum("khw,khw->hw", region_p.astype(fusion_dtype),
@@ -203,6 +223,10 @@ def fuse_panoptic(cfg: ModelConfig,
                 depth_tiles.append(dsel)
         pix_arg = _interleave_phases(pix_tiles, fy, fx)
         depth_pix = _interleave_phases(depth_tiles, fy, fx)
+        # (K, hs, fy) -> (K, H): full-res row r = ys*fy + py
+        row_marg = jnp.stack(rowm, axis=-1).reshape(kk, hs * fy)
+        col_marg = jnp.stack(colm, axis=-1).reshape(kk, ws * fx)
+        mask_area = row_marg.sum(axis=1).astype(jnp.int32)
         masks = None
     else:  # general-resolution fallback: materialize full-res candidates
         masks = resize_bilinear(masks_small, (h, w), precise=precise)
@@ -210,7 +234,9 @@ def fuse_panoptic(cfg: ModelConfig,
         prob_masks = scores_d[:, None, None] * masks
         pix_arg = jnp.argmax(prob_masks, axis=0)
         region = pix_arg[None] == jnp.arange(kk, dtype=pix_arg.dtype)[:, None, None]
-        mask_area = region.sum(axis=(1, 2)).astype(jnp.int32)
+        row_marg = region.sum(axis=2).astype(jnp.float32)
+        col_marg = region.sum(axis=1).astype(jnp.float32)
+        mask_area = row_marg.sum(axis=1).astype(jnp.int32)
         orig_area = (masks >= 0.5).sum(axis=(1, 2)).astype(jnp.int32)
         depth_pix = jnp.einsum("khw,khw->hw", region.astype(fusion_dtype),
                                depth_cand).astype(jnp.float32)
@@ -228,21 +254,33 @@ def fuse_panoptic(cfg: ModelConfig,
     seg_ids = jnp.zeros((kk,), jnp.int32).at[order].set(ids_sorted)
     seg_ids = jnp.where(keep, seg_ids, 0)
 
-    keep_at_pix = keep[pix_arg]
-    panoptic = jnp.where(keep_at_pix, seg_ids[pix_arg], 0)
-    semantic = jnp.where(keep_at_pix, labels[pix_arg],
-                         cfg.num_classes).astype(jnp.int32)
-    depth = jnp.where(keep_at_pix, depth_pix, depth_basic)
+    if defer_maps:
+        # per-pixel table lookups through pix_arg are ~17ms EACH at full res
+        # (XLA dynamic gather); the caller renders semantic/panoptic/depth/
+        # track in ONE pallas pass (ops/pallas/map_render.py) once the
+        # tracker ids are known
+        assert emit_marginals, "defer_maps requires emit_marginals"
+        panoptic = semantic = depth = None
+    else:
+        keep_at_pix = keep[pix_arg]
+        panoptic = jnp.where(keep_at_pix, seg_ids[pix_arg], 0).astype(jnp.int32)
+        semantic = jnp.where(keep_at_pix, labels[pix_arg],
+                             cfg.num_classes).astype(jnp.int32)
+        depth = jnp.where(keep_at_pix, depth_pix, depth_basic)
 
     # only the top candidates feed the tracker; avoid materializing the
-    # full (K, H, W) stack when a cap is given
-    nt_masks = kk if num_track_masks is None else min(num_track_masks, kk)
-    seg_masks = (pix_arg[None] ==
-                 jnp.arange(nt_masks, dtype=pix_arg.dtype)[:, None, None]) \
-        & keep[:nt_masks, None, None]
+    # full (K, H, W) stack when a cap is given — and skip it entirely when
+    # the caller consumes the marginals instead
+    if emit_marginals:
+        seg_masks = None
+    else:
+        nt_masks = kk if num_track_masks is None else min(num_track_masks, kk)
+        seg_masks = (pix_arg[None] ==
+                     jnp.arange(nt_masks, dtype=pix_arg.dtype)[:, None, None]) \
+            & keep[:nt_masks, None, None]
 
     return PanopticResult(
-        panoptic=panoptic.astype(jnp.int32),
+        panoptic=panoptic,
         semantic=semantic,
         depth=depth,
         depth_basic=depth_basic,
@@ -254,6 +292,10 @@ def fuse_panoptic(cfg: ModelConfig,
         instance_ids=jnp.arange(kk, dtype=jnp.int32),
         areas=mask_area,
         masks=seg_masks,
+        row_marg=row_marg if emit_marginals else None,
+        col_marg=col_marg if emit_marginals else None,
+        pix_arg=pix_arg.astype(jnp.int32) if emit_marginals else None,
+        depth_pix=depth_pix if defer_maps else None,
     )
 
 

@@ -36,15 +36,15 @@ class FrameOutput(NamedTuple):
     track_overflow: jax.Array  # () int32
 
 
-def _mask_tight_boxes(masks: jax.Array) -> jax.Array:
-    """Exact min/max boxes (reference tensor_mask2box, funcs/utils.py:12-22).
+def _tight_boxes_from_any(any_y: jax.Array, any_x: jax.Array) -> jax.Array:
+    """Exact min/max boxes from row/col occupancy (reference
+    tensor_mask2box, funcs/utils.py:12-22).
 
     NOTE the reference's coords are (row, col) = nonzero order, so its
     "boxes" are (y1, x1, y2, x2); they are only used as tracker bbox state
     and for IoU tests, which are coordinate-order invariant."""
-    m, h, w = masks.shape
-    any_x = masks.any(axis=1)  # (M, W)
-    any_y = masks.any(axis=2)  # (M, H)
+    _, h = any_y.shape
+    _, w = any_x.shape
     xs = jnp.arange(w)
     ys = jnp.arange(h)
     big = jnp.int32(1 << 30)
@@ -55,6 +55,10 @@ def _mask_tight_boxes(masks: jax.Array) -> jax.Array:
     empty = ~any_x.any(axis=1)
     box = jnp.stack([y1, x1, y2, x2], axis=1).astype(jnp.float32)
     return jnp.where(empty[:, None], jnp.asarray([-1.0, -1.0, 10.0, 10.0]), box)
+
+
+def _mask_tight_boxes(masks: jax.Array) -> jax.Array:
+    return _tight_boxes_from_any(masks.any(axis=2), masks.any(axis=1))
 
 
 def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
@@ -93,11 +97,18 @@ def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
         out.rpn.depth_pred[0:1],
         (out.rpn.depth_pred.shape[-2] * 2, out.rpn.depth_pred.shape[-1] * 2))[0]
 
+    from .panoptic import _use_pallas_fusion
+
+    defer = fusion_dtype != jnp.float32 and _use_pallas_fusion()
     pano = fuse_panoptic(cfg, cls_probs, mask_logits, depth_logits,
                          depth_init, out_hw, fusion_dtype=fusion_dtype,
-                         num_track_masks=cfg.tracker.max_detections)
+                         num_track_masks=cfg.tracker.max_detections,
+                         emit_marginals=True, defer_maps=defer)
 
     # --- tracking over kept thing segments --------------------------------
+    # Everything the tracker needs (tight boxes, MAD RoI boxes, the track-id
+    # map) is a function of the fusion kernel's row/col marginals and
+    # pixel argmax — the (D, H, W) mask stack is never materialized.
     d = cfg.tracker.max_detections
     kk = pano.instance_ids.shape[0]
     take = min(d, kk)
@@ -111,17 +122,20 @@ def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
 
     thing_keep = pano.keep & pano.is_thing  # (K,)
     det_valid = to_d(thing_keep)
-    det_masks = to_d(pano.masks)  # (D, H, W) bool
     det_scores = to_d(pano.scores)
     det_labels = to_d(pano.labels)
-    boxes_yx = _mask_tight_boxes(det_masks)
+    # keep-gate the marginals so empty-mask fallbacks match the mask path
+    det_rowm = to_d(pano.row_marg) * det_valid[:, None]
+    det_colm = to_d(pano.col_marg) * det_valid[:, None]
+    boxes_yx = _tight_boxes_from_any(det_rowm > 0, det_colm > 0)
     det_boxes = jnp.concatenate(
         [jnp.maximum(boxes_yx, 0.0), det_scores[:, None]], axis=1)
 
-    from ..ops.roi_align import masks_to_boxes_mad
+    from ..ops.roi_align import boxes_mad_from_marginals
 
-    roi_boxes = masks_to_boxes_mad(det_masks)
-    embeds = model.apply(variables, fpn, det_masks[None], det_valid[None],
+    roi_boxes = boxes_mad_from_marginals(det_rowm, det_colm)
+    dummy_masks = jnp.zeros((1, d, 1, 1), jnp.bool_)  # unused: boxes given
+    embeds = model.apply(variables, fpn, dummy_masks, det_valid[None],
                          roi_boxes[None],
                          method=PolyphonicFormer.forward_track_embeds)[0]
     embeds = embeds.astype(jnp.float32)
@@ -136,17 +150,26 @@ def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
     overflow = (jnp.sum(thing_keep.astype(jnp.int32))
                 - jnp.sum(thing_keep[:take].astype(jnp.int32)))
 
-    # per-pixel track id (candidates beyond D get 0)
+    # per-pixel track id vector (candidates beyond D and non-kept get 0)
     cand_track_id = jnp.zeros((kk,), jnp.int32).at[:take].set(ids_by_det[:take])
-    # pano.masks[k] is exactly the pixels argmax-assigned to k (kept only);
-    # capped to the tracker capacity by num_track_masks above
-    nt = pano.masks.shape[0]
-    track_map = jnp.einsum("khw,k->hw", pano.masks.astype(jnp.int32),
-                           (cand_track_id * thing_keep.astype(jnp.int32))[:nt])
+    ids_full = cand_track_id * thing_keep.astype(jnp.int32)
+    if defer:
+        # one pallas pass renders all four maps (XLA per-pixel gathers
+        # measured ~17ms each at 1024x2048 — ops/pallas/map_render.py)
+        from ..ops.pallas.map_render import render_maps
 
-    fo = FrameOutput(semantic=pano.semantic, track_map=track_map,
-                     depth=pano.depth, depth_basic=pano.depth_basic,
-                     panoptic=pano.panoptic, pano=pano,
+        semantic, panoptic, depth, track_map = render_maps(
+            pano.pix_arg, pano.depth_pix, pano.depth_basic, pano.labels,
+            pano.seg_ids, pano.keep, ids_full, cfg.num_classes)
+        pano = pano._replace(semantic=semantic, panoptic=panoptic,
+                             depth=depth)
+    else:
+        semantic, panoptic, depth = pano.semantic, pano.panoptic, pano.depth
+        track_map = ids_full[pano.pix_arg]
+
+    fo = FrameOutput(semantic=semantic, track_map=track_map,
+                     depth=depth, depth_basic=pano.depth_basic,
+                     panoptic=panoptic, pano=pano,
                      track_overflow=overflow)
     return fo, new_state
 
@@ -185,6 +208,10 @@ def batched_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
 
     h8, w8 = out.stages[-1].mask_preds.shape[-2:]
 
+    from .panoptic import _use_pallas_fusion
+
+    defer = fusion_dtype != jnp.float32 and _use_pallas_fusion()
+
     def fuse_one(cls_logits, mask_p, depth_p, depth0):
         cls_probs = jax.nn.sigmoid(cls_logits)
         ml = resize_bilinear(mask_p, (h8 * 2, w8 * 2))
@@ -192,7 +219,8 @@ def batched_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
         d0 = resize_bilinear(depth0[None], (h8 * 2, w8 * 2))[0]
         return fuse_panoptic(cfg, cls_probs, ml, dl, d0, out_hw,
                              fusion_dtype=fusion_dtype,
-                             num_track_masks=cfg.tracker.max_detections)
+                             num_track_masks=cfg.tracker.max_detections,
+                             emit_marginals=True, defer_maps=defer)
 
     pano = jax.vmap(fuse_one)(out.stages[-1].cls_score,
                               out.stages[-1].mask_preds,
@@ -212,17 +240,22 @@ def batched_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
 
     thing_keep = pano.keep & pano.is_thing
     det_valid = to_d(thing_keep)
-    det_masks = to_d(pano.masks)  # (B, D, H, W) bool
     det_scores = to_d(pano.scores)
     det_labels = to_d(pano.labels)
-    boxes_yx = jax.vmap(_mask_tight_boxes)(det_masks)
+    det_rowm = to_d(pano.row_marg) * det_valid[..., None]
+    det_colm = to_d(pano.col_marg) * det_valid[..., None]
+    boxes_yx = jax.vmap(
+        lambda rm, cm: _tight_boxes_from_any(rm > 0, cm > 0))(det_rowm,
+                                                              det_colm)
     det_boxes = jnp.concatenate(
         [jnp.maximum(boxes_yx, 0.0), det_scores[..., None]], axis=2)
 
-    from ..ops.roi_align import masks_to_boxes_mad
+    from ..ops.roi_align import boxes_mad_from_marginals
 
-    roi_boxes = jax.vmap(masks_to_boxes_mad)(det_masks)
-    embeds = model.apply(cast_vars, fpn, det_masks, det_valid, roi_boxes,
+    roi_boxes = jax.vmap(boxes_mad_from_marginals)(det_rowm, det_colm)
+    b = det_valid.shape[0]
+    dummy_masks = jnp.zeros((b, d, 1, 1), jnp.bool_)  # unused: boxes given
+    embeds = model.apply(cast_vars, fpn, dummy_masks, det_valid, roi_boxes,
                          method=PolyphonicFormer.forward_track_embeds)
     embeds = embeds.astype(jnp.float32)
 
@@ -230,21 +263,31 @@ def batched_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
         lambda s, b, l, e, v, f: tracker_step(cfg.tracker, s, b, l, e, v, f)
     )(tracker_states, det_boxes, det_labels, embeds, det_valid, frame_ids)
 
-    def finish(ids_s, ord_, kept_s, cand_masks, keep_t):
+    def ids_vec(ids_s, ord_, kept_s, keep_t):
         out_ids = jnp.where(kept_s & (ids_s >= 0), ids_s + 1, 0)
         ids_by_det = jnp.zeros((d,), jnp.int32).at[ord_].set(out_ids)
         cand_track_id = jnp.zeros((kk,), jnp.int32).at[:take].set(ids_by_det[:take])
-        nt = cand_masks.shape[0]
-        return jnp.einsum("khw,k->hw", cand_masks.astype(jnp.int32),
-                          (cand_track_id * keep_t.astype(jnp.int32))[:nt])
+        return cand_track_id * keep_t.astype(jnp.int32)
 
-    track_map = jax.vmap(finish)(ids_sorted, order, kept_sorted, pano.masks,
-                                 thing_keep)
+    ids_full = jax.vmap(ids_vec)(ids_sorted, order, kept_sorted, thing_keep)
+    if defer:
+        from ..ops.pallas.map_render import render_maps
+
+        semantic, panoptic, depth, track_map = jax.vmap(
+            lambda pix, dp, db, lb, sg, kp, tr: render_maps(
+                pix, dp, db, lb, sg, kp, tr, cfg.num_classes)
+        )(pano.pix_arg, pano.depth_pix, pano.depth_basic, pano.labels,
+          pano.seg_ids, pano.keep, ids_full)
+        pano = pano._replace(semantic=semantic, panoptic=panoptic,
+                             depth=depth)
+    else:
+        semantic, panoptic, depth = pano.semantic, pano.panoptic, pano.depth
+        track_map = jax.vmap(lambda v, pix: v[pix])(ids_full, pano.pix_arg)
     overflow = (jnp.sum(thing_keep.astype(jnp.int32), axis=1)
                 - jnp.sum(thing_keep[:, :take].astype(jnp.int32), axis=1))
-    fo = FrameOutput(semantic=pano.semantic, track_map=track_map,
-                     depth=pano.depth, depth_basic=pano.depth_basic,
-                     panoptic=pano.panoptic, pano=pano,
+    fo = FrameOutput(semantic=semantic, track_map=track_map,
+                     depth=depth, depth_basic=pano.depth_basic,
+                     panoptic=panoptic, pano=pano,
                      track_overflow=overflow)
     return fo, new_states
 
@@ -285,6 +328,14 @@ def clip_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
 
     images: (T, H, W, 3).
     """
+    # hoist the whole-tree weight cast out of the frame scan: the in-step
+    # cast is a no-op on already-bf16 leaves, so casting once here avoids
+    # re-reading the f32 weights every iteration if XLA's LICM misses it
+    if compute_dtype != jnp.float32:
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype)
+            if isinstance(a, jax.Array) and a.dtype == jnp.float32 else a,
+            variables)
 
     def body(state, inp):
         img, fid = inp

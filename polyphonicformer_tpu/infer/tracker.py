@@ -159,8 +159,10 @@ def tracker_step(cfg: TrackerConfig, state: TrackerState, bboxes: jax.Array,
         return used, out_id
 
     used0 = jnp.zeros((scores_mat.shape[1],), bool)
+    # unroll: each iteration is a handful of tiny VPU ops — the per-step
+    # loop overhead dominates the math on TPU without it
     _, ids = jax.lax.scan(scan_body, used0,
-                          (scores_mat, bboxes[:, 4], det_valid))
+                          (scores_mat, bboxes[:, 4], det_valid), unroll=8)
 
     # new ids for confident unmatched detections
     new_mask = (ids == -1) & (bboxes[:, 4] > cfg.init_score_thr) & det_valid

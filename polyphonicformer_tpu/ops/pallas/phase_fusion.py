@@ -8,8 +8,14 @@ fy*fx phases at once:
 
   pix_arg   (fy, fx, h/4, w/4) int32  — per-phase argmax_k score_k * m_k
   depth_sel (fy, fx, h/4, w/4) f32    — depth of the winning candidate
-  mask_area (K,) f32                  — |argmax region| per candidate
+  row_marg  (K, H) f32                — argmax-region count per full-res row
+  col_marg  (K, W) f32                — argmax-region count per full-res col
   orig_area (K,) f32                  — |m_k >= 0.5| per candidate
+
+The marginals are the load-bearing addition: every downstream consumer of
+the (K, H, W) candidate masks (tight boxes, MAD RoI boxes, areas) is a
+function of row/col counts, so the pipeline never materializes or re-reads
+the 128MB mask stack (infer/pipeline.py).  mask_area = row_marg.sum(-1).
 
 Mosaic-layout notes: every in-kernel value stays >= 2-D (scores enter as a
 (K, 1, W) broadcast block; the area accumulators are (K, W) column partial
@@ -49,13 +55,13 @@ def _col_shift(x, dx: int):
 
 def _kernel(score3_ref, m_prev_ref, m_cur_ref, m_next_ref,
             d_prev_ref, d_cur_ref, d_next_ref,
-            pix_ref, dep_ref, marea_ref, oarea_ref,
+            pix_ref, dep_ref, rowm_ref, colm_ref, oarea_ref,
             *, fy: int, fx: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        marea_ref[:] = jnp.zeros_like(marea_ref)
+        colm_ref[:] = jnp.zeros_like(colm_ref)
         oarea_ref[:] = jnp.zeros_like(oarea_ref)
 
     score3 = score3_ref[:]  # (K, 1, W)
@@ -66,7 +72,6 @@ def _kernel(score3_ref, m_prev_ref, m_cur_ref, m_next_ref,
     k = rows[0].shape[0]
     kidx = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
 
-    marea = jnp.zeros_like(marea_ref)  # (K, W) column partial sums
     oarea = jnp.zeros_like(oarea_ref)
     taps_y = _phase_taps(fy)
     taps_x = _phase_taps(fx)
@@ -78,6 +83,8 @@ def _kernel(score3_ref, m_prev_ref, m_cur_ref, m_next_ref,
         vy_d = (wy0 * drows[by][:].astype(jnp.float32)
                 + wy1 * drows[by + 1][:].astype(jnp.float32))
         pix_cols, dep_cols = [], []
+        rowm_py = jnp.zeros((rowm_ref.shape[2], rowm_ref.shape[1]),
+                            jnp.float32)  # (K, TR)
         for px in range(fx):
             bx, wx0, wx1 = taps_x[px]
             v = wx0 * _col_shift(vy_m, bx) + wx1 * _col_shift(vy_m, bx + 1)
@@ -85,17 +92,20 @@ def _kernel(score3_ref, m_prev_ref, m_cur_ref, m_next_ref,
             prob = score3 * v  # (K, TR, W)
             pa = jnp.argmax(prob, axis=0).astype(jnp.int32)  # (TR, W)
             region = (kidx == pa[None]).astype(jnp.float32)
-            marea = marea + region.sum(axis=1)  # (K, W)
+            rowm_py = rowm_py + region.sum(axis=2)  # (K, TR)
+            # accumulate straight into VMEM: keeping fx (K, W) accumulators
+            # live across the whole phase loop spilled ~70MB of vregs
+            colm_ref[px] = colm_ref[px] + region.sum(axis=1)  # (K, W)
             oarea = oarea + (v >= 0.5).astype(jnp.float32).sum(axis=1)
             pix_cols.append(pa)
             dep_cols.append((region * vd).sum(axis=0))
         # assemble interleaved layout VMEM-locally: (TR, W, fx)
         pix_rows.append(jnp.stack(pix_cols, axis=-1))
         dep_rows.append(jnp.stack(dep_cols, axis=-1))
+        rowm_ref[py] = rowm_py.T  # (fy, TR, K) layout: K rides the lanes
     # (TR, fy, W, fx): row-major-reshapes to the full-res raster outside
     pix_ref[:] = jnp.stack(pix_rows, axis=1)
     dep_ref[:] = jnp.stack(dep_rows, axis=1)
-    marea_ref[:] += marea
     oarea_ref[:] += oarea
 
 
@@ -132,10 +142,14 @@ def phase_fusion(probs: jax.Array, scores: jax.Array, depth: jax.Array,
     # (hs*fy, ws*fx) raster — no post-hoc interleave relayout needed
     out_map_spec = pl.BlockSpec((tr, fy, ws, fx), lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
+    rowm_spec = pl.BlockSpec((fy, tr, kpad), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    colm_spec = pl.BlockSpec((fx, kpad, ws), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec((kpad, ws), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    pix, dep, marea, oarea = pl.pallas_call(
+    pix, dep, rowm, colm, oarea = pl.pallas_call(
         functools.partial(_kernel, fy=fy, fx=fx),
         grid=grid,
         in_specs=[
@@ -143,11 +157,12 @@ def phase_fusion(probs: jax.Array, scores: jax.Array, depth: jax.Array,
                          memory_space=pltpu.VMEM),
             row_spec, row_spec, row_spec, row_spec, row_spec, row_spec,
         ],
-        out_specs=(out_map_spec, out_map_spec, acc_spec, acc_spec),
+        out_specs=(out_map_spec, out_map_spec, rowm_spec, colm_spec, acc_spec),
         out_shape=(
             jax.ShapeDtypeStruct((hs, fy, ws, fx), jnp.int32),
             jax.ShapeDtypeStruct((hs, fy, ws, fx), jnp.float32),
-            jax.ShapeDtypeStruct((kpad, ws), jnp.float32),
+            jax.ShapeDtypeStruct((fy, hs, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((fx, kpad, ws), jnp.float32),
             jax.ShapeDtypeStruct((kpad, ws), jnp.float32),
         ),
         interpret=interpret,
@@ -156,4 +171,7 @@ def phase_fusion(probs: jax.Array, scores: jax.Array, depth: jax.Array,
     )(score3, m_prev, m_cur, m_next, d_prev, d_cur, d_next)
     pix = pix.reshape(hs * fy, ws * fx)
     dep = dep.reshape(hs * fy, ws * fx)
-    return pix, dep, marea[:kk].sum(axis=1), oarea[:kk].sum(axis=1)
+    # (fy, hs, K) -> (K, hs, fy) -> (K, H): full-res row r = ys*fy + py
+    row_marg = rowm[..., :kk].transpose(2, 1, 0).reshape(kk, hs * fy)
+    col_marg = colm[:, :kk].transpose(1, 2, 0).reshape(kk, ws * fx)
+    return pix, dep, row_marg, col_marg, oarea[:kk].sum(axis=1)

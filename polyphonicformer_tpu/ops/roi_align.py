@@ -116,12 +116,21 @@ def masks_to_boxes_mad(masks: jax.Array, extend: float = 2.0) -> jax.Array:
     masks: (M, H, W) binary/float. Returns (M, 4) x1,y1,x2,y2 (clamped >= 0,
     empty masks -> zeros), same as batch_mask2boxlist + rois.clamp(min=0).
     """
-    m_, h, w = masks.shape
     mb = masks > 0
     # row/column marginal counts: every moment below reduces over these
     # (2 passes over the full-res masks instead of 5, no f32 mask cast)
     colcount = mb.sum(axis=1).astype(jnp.float32)  # (M, W)
     rowcount = mb.sum(axis=2).astype(jnp.float32)  # (M, H)
+    return boxes_mad_from_marginals(rowcount, colcount, extend)
+
+
+def boxes_mad_from_marginals(rowcount: jax.Array, colcount: jax.Array,
+                             extend: float = 2.0) -> jax.Array:
+    """Same MAD box from precomputed (M, H)/(M, W) marginal counts — the
+    mask moments are separable, so the fusion kernel's marginals replace
+    the full-res mask read entirely."""
+    _, h = rowcount.shape
+    _, w = colcount.shape
     area = colcount.sum(axis=1)
     safe_area = jnp.maximum(area, 1.0)
     ys = jnp.arange(h, dtype=jnp.float32)[None]

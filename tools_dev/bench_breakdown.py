@@ -40,13 +40,11 @@ def timed(fn, *args, reps=3, inner=2):
 def main():
     from polyphonicformer_tpu.configs import ModelConfig
     from polyphonicformer_tpu.infer.panoptic import fuse_panoptic
-    from polyphonicformer_tpu.infer.pipeline import (_mask_tight_boxes,
-                                                     video_frame_step)
+    from polyphonicformer_tpu.infer.pipeline import video_frame_step
     from polyphonicformer_tpu.infer.tracker import (init_tracker_state,
                                                     tracker_step)
     from polyphonicformer_tpu.models import PolyphonicFormer
     from polyphonicformer_tpu.ops.resize import resize_bilinear
-    from polyphonicformer_tpu.ops.roi_align import masks_to_boxes_mad
 
     cfg = ModelConfig(with_track=True)
     model = PolyphonicFormer(cfg)
@@ -80,7 +78,8 @@ def main():
         return fuse_panoptic(cfg,
                              jax.nn.sigmoid(s.cls_score[0].astype(jnp.float32)),
                              ml, dl, d0, (H, W), fusion_dtype=jnp.bfloat16,
-                             num_track_masks=num_track_masks)
+                             num_track_masks=num_track_masks,
+                             emit_marginals=True)
 
     def scan_over(body):
         @jax.jit
@@ -104,21 +103,21 @@ def main():
 
     variants["fuse"] = scan_over(v_fuse)
 
-    def v_masks(im):
-        _, out = fwd_body(im)
-        pano = fuse_from(out, cfg.tracker.max_detections)
-        return (pano.semantic.sum(), pano.depth.mean(),
-                pano.masks.astype(jnp.int32).sum())
+    from polyphonicformer_tpu.infer.pipeline import _tight_boxes_from_any
+    from polyphonicformer_tpu.ops.roi_align import boxes_mad_from_marginals
 
-    variants["masks64"] = scan_over(v_masks)
+    d = cfg.tracker.max_detections
 
     def v_boxes(im):
         _, out = fwd_body(im)
-        pano = fuse_from(out, cfg.tracker.max_detections)
-        tight = _mask_tight_boxes(pano.masks)
-        mad = masks_to_boxes_mad(pano.masks)
-        track = jnp.einsum("khw,k->hw", pano.masks.astype(jnp.int32),
-                           jnp.arange(pano.masks.shape[0], dtype=jnp.int32))
+        pano = fuse_from(out, d)
+        valid = (pano.keep & pano.is_thing)[:d]
+        rowm = pano.row_marg[:d] * valid[:, None]
+        colm = pano.col_marg[:d] * valid[:, None]
+        tight = _tight_boxes_from_any(rowm > 0, colm > 0)
+        mad = boxes_mad_from_marginals(rowm, colm)
+        ids_vec = jnp.arange(pano.keep.shape[0], dtype=jnp.int32)
+        track = ids_vec[pano.pix_arg]
         return (pano.semantic.sum(), pano.depth.mean(), tight.sum(),
                 mad.sum(), track.sum())
 
@@ -126,10 +125,13 @@ def main():
 
     def v_embeds(im):
         fpn, out = fwd_body(im)
-        pano = fuse_from(out, cfg.tracker.max_detections)
-        mad = masks_to_boxes_mad(pano.masks)
-        embeds = model.apply(cast_vars, fpn, pano.masks[None],
-                             (pano.keep[:pano.masks.shape[0]])[None], mad[None],
+        pano = fuse_from(out, d)
+        valid = (pano.keep & pano.is_thing)[:d]
+        rowm = pano.row_marg[:d] * valid[:, None]
+        colm = pano.col_marg[:d] * valid[:, None]
+        mad = boxes_mad_from_marginals(rowm, colm)
+        dummy = jnp.zeros((1, d, 1, 1), jnp.bool_)
+        embeds = model.apply(cast_vars, fpn, dummy, valid[None], mad[None],
                              method=PolyphonicFormer.forward_track_embeds)
         return (pano.semantic.sum(), embeds.astype(jnp.float32).sum())
 
