@@ -23,11 +23,26 @@ def init_distributed(coordinator_address: Optional[str] = None,
                      process_id: Optional[int] = None) -> None:
     """Multi-host initialization (replaces the reference's
     ``mmcv.runner.init_dist`` torchrun/slurm/mpi launchers,
-    tools/train.py:74-78).  No-op on a single host."""
+    tools/train.py:74-78).  No-op outside a launched job.
+
+    Arguments fall back to the env the launcher (tools/launch.py) exports:
+    ``COORDINATOR_ADDRESS`` / ``NUM_PROCESSES`` / ``PROCESS_ID``.  On a TPU
+    pod slice these are unnecessary — ``jax.distributed.initialize()``
+    autodetects from the TPU metadata; trigger that path by setting
+    ``COORDINATOR_ADDRESS=auto``."""
     import os
 
-    if coordinator_address is None and "COORDINATOR_ADDRESS" not in os.environ:
+    coordinator_address = coordinator_address or os.environ.get(
+        "COORDINATOR_ADDRESS")
+    if coordinator_address is None:
         return
+    if coordinator_address == "auto":  # TPU pod: autodetect everything
+        jax.distributed.initialize()
+        return
+    if num_processes is None and "NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None and "PROCESS_ID" in os.environ:
+        process_id = int(os.environ["PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -47,6 +62,20 @@ def make_mesh(cfg: Optional[ParallelConfig] = None,
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'."""
     return NamedSharding(mesh, P("data"))
+
+
+def global_put(mesh: Mesh, x, spec: P):
+    """Place host data onto the mesh with the given spec, multi-process
+    safe.  Single process: plain ``device_put``.  Multi-process: the host
+    array is this process's LOCAL shard (per-process batch; or the full
+    value when replicated) and the global array is assembled across
+    processes — the jax analogue of DDP's per-rank batches."""
+    sh = NamedSharding(mesh, spec)
+    if isinstance(x, jax.Array) and getattr(x, "sharding", None) == sh:
+        return x  # already global (e.g. state threaded through jit)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    return jax.make_array_from_process_local_data(sh, np.asarray(x))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -71,12 +100,12 @@ def logical_param_shardings(mesh: Mesh, abstract_variables, rules=None):
 
 
 def shard_batch_pytree(mesh: Mesh, batch):
-    """Device-put a host pytree with the leading axis sharded over 'data'."""
-    sh = batch_sharding(mesh)
+    """Place a host pytree on the mesh, leading axis sharded over 'data'
+    (multi-process safe: each process contributes its local batch)."""
 
     def put(x):
         if x is None:
             return None
-        return jax.device_put(x, NamedSharding(mesh, P(*(("data",) + (None,) * (x.ndim - 1)))))
+        return global_put(mesh, x, P(*(("data",) + (None,) * (np.ndim(x) - 1))))
 
     return jax.tree_util.tree_map(put, batch)

@@ -53,10 +53,16 @@ def main() -> None:
     from ..configs import apply_overrides, get_preset
     from ..data.cityscapes_dvps import CityscapesDVPSDataset
     from ..models import PolyphonicFormer
-    from ..parallel.mesh import make_mesh
+    from ..parallel.mesh import init_distributed, make_mesh
     from ..train.checkpoint import make_manager, restore_state, save_state
     from ..train.metrics import MetricWriter
     from ..train.step import create_train_state, make_sharded_train_step
+
+    # multi-host: no-op unless launched (tools/launch.py / TPU pod); each
+    # process then loads its own per-process batches (DDP-sampler analogue:
+    # the loader seed is offset by rank below)
+    init_distributed()
+    rank = jax.process_index()
 
     cfg = get_preset(args.preset)
     if args.data_root:
@@ -74,11 +80,13 @@ def main() -> None:
     if args.loader == "process":
         from ..data.mp_loader import MPTrainLoader
 
-        loader = MPTrainLoader(ds, cfg.data, cfg.model, seed=args.seed)
+        loader = MPTrainLoader(ds, cfg.data, cfg.model,
+                               seed=args.seed + 1000 * rank)
     else:
         from ..data.loader import TrainLoader
 
-        loader = TrainLoader(ds, cfg.data, cfg.model, seed=args.seed)
+        loader = TrainLoader(ds, cfg.data, cfg.model,
+                             seed=args.seed + 1000 * rank)
 
     dataset_len = len(ds) * cfg.data.repeat_times
     steps_per_epoch = max(dataset_len // cfg.data.batch_size, 1)
@@ -108,12 +116,14 @@ def main() -> None:
 
     mesh = make_mesh(cfg.parallel)
     step_fn = make_sharded_train_step(model, cfg.model, tx, mesh, video=video)
-    writer = MetricWriter(cfg.work_dir, cfg.schedule.log_interval)
+    writer = MetricWriter(cfg.work_dir, cfg.schedule.log_interval) \
+        if rank == 0 else None
 
     # periodic eval during training (reference EvalHook,
     # mmdet/apis/train.py:183-204); disabled automatically when no val split
+    # (rank 0 only, like mmdet's EvalHook gathering to rank 0)
     eval_hook = None
-    if args.eval_every_epochs > 0:
+    if args.eval_every_epochs > 0 and rank == 0:
         from ..evalutils.runner import make_eval_hook
 
         eval_hook = make_eval_hook(
@@ -131,7 +141,7 @@ def main() -> None:
     for step_idx in range(start, total_steps):
         batch = next(it)
         state, metrics = step_fn(state, batch)
-        samples_done += cfg.data.batch_size
+        samples_done += cfg.data.batch_size * jax.process_count()
         if (step_idx + 1) % cfg.schedule.log_interval == 0:
             dt = time.perf_counter() - t_log
             sps = samples_done / max(dt, 1e-9)
@@ -142,13 +152,16 @@ def main() -> None:
             metrics["eta_min"] = eta_min
             t_log = time.perf_counter()
             samples_done = 0
-        writer.write(step_idx + 1, metrics)
-        if (step_idx + 1) % ckpt_every == 0 or step_idx + 1 == total_steps:
+        if writer is not None:
+            writer.write(step_idx + 1, metrics)
+        if rank == 0 and ((step_idx + 1) % ckpt_every == 0
+                          or step_idx + 1 == total_steps):
             save_state(mgr, step_idx + 1, jax.device_get(state))
         if eval_hook is not None and (step_idx + 1) % eval_every == 0:
             eval_hook(step_idx + 1)
     loader.stop()
-    writer.close()
+    if writer is not None:
+        writer.close()
     print("training done")
 
 

@@ -12,8 +12,9 @@ from typing import Dict, Tuple
 import flax
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..configs import ExperimentConfig, ModelConfig
 from ..data.structures import TrainBatch
@@ -94,19 +95,20 @@ def make_sharded_train_step(model: PolyphonicFormer, cfg: ModelConfig,
                             video: bool = False):
     """Train step with explicit shardings: batch split over 'data', state
     replicated."""
+    from ..parallel.mesh import global_put
+
     step = make_train_step(model, cfg, tx, video=video, donate=False)
-    repl = NamedSharding(mesh, P())
 
     def put(x):
         if x is None:
             return None
-        x = jnp.asarray(x)
-        spec = P(*(("data",) + (None,) * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        spec = P(*(("data",) + (None,) * (np.ndim(x) - 1)))
+        return global_put(mesh, x, spec)
 
     def sharded_step(state: TrainState, batch: TrainBatch):
         batch = jax.tree_util.tree_map(put, batch)
-        state = jax.device_put(state, repl)
+        state = jax.tree_util.tree_map(
+            lambda x: global_put(mesh, x, P()), state)
         return step(state, batch)
 
     return sharded_step

@@ -121,3 +121,37 @@ def test_mp_loader(dataset_root):
             assert kids & rids
     finally:
         loader.stop()
+
+
+def test_eval_video_cli(dataset_root, tmp_path, monkeypatch):
+    """The video eval CLI end to end: synthetic val split -> pipelined
+    streaming inference (prefetch thread + deferred host writes) -> DVPQ
+    aggregation (reference: tools/test_video.py)."""
+    import pickle
+    import sys
+
+    from polyphonicformer_tpu.configs import get_preset
+    from polyphonicformer_tpu.models import PolyphonicFormer
+    from polyphonicformer_tpu.tools import eval_video
+
+    write_synthetic_dataset(dataset_root, split="val", num_seqs=1,
+                            frames_per_seq=2)
+    cfg = get_preset("debug_tiny_video")
+    model = PolyphonicFormer(cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)),
+                           method=PolyphonicFormer.init_all)
+    ckpt = tmp_path / "vars.pkl"
+    with open(ckpt, "wb") as f:
+        pickle.dump(jax.tree_util.tree_map(np.asarray, variables), f)
+
+    eval_dir = str(tmp_path / "eval")
+    monkeypatch.setattr(sys, "argv", [
+        "eval_video", "--data-root", dataset_root, "--split", "val",
+        "--checkpoint", str(ckpt), "--preset", "debug_tiny_video",
+        "--eval-dir", eval_dir, "--nproc", "1"])
+    eval_video.main()
+    import json
+
+    with open(os.path.join(eval_dir, "dvpq.json")) as f:
+        results = json.load(f)
+    assert "average" in results and np.isfinite(results["average"]["pq"])
