@@ -195,7 +195,18 @@ class MPTrainLoader:
             self._ring = None
 
     def _next_sample(self) -> Tuple[Dict, Optional[Dict]]:
-        slot = self._ready_q.get()
+        while True:
+            try:
+                slot = self._ready_q.get(timeout=10)
+                break
+            except queue_mod.Empty:
+                # don't hang forever on crashed workers (e.g. an unpicklable
+                # dataset or a spawn re-import error kills them at startup)
+                dead = [p.exitcode for p in self._procs if not p.is_alive()]
+                if dead and len(dead) == len(self._procs):
+                    raise RuntimeError(
+                        f"all {len(dead)} loader workers died "
+                        f"(exitcodes {dead}); check worker stderr")
         views = self._ring.views(slot)
         key = {s.name: np.array(views[s.name], copy=True)
                for s in self.specs if not s.name.startswith("ref_")}

@@ -3,6 +3,12 @@ then DVPQ over windows k in {1..4} x depth thresholds.
 
 reference: /root/reference/tools/test_video.py +
 polyphonic/apis/{video_inference,video_evaluate}.py.
+
+Frame-id convention: the tracker sees frame ids counted from 1 at each
+sequence start (the reference counts from the sequence's img_id==0).  Track
+expiry (memo_frames) is relative to the current frame in both, so
+associations are identical; only the absolute ids stored in tracker state
+differ by 1.
 """
 from __future__ import annotations
 
@@ -27,14 +33,24 @@ def main() -> None:
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute + Pallas fusion fast path (2.8x; maps "
                     "differ from f32 only on argmax-boundary pixels)")
+    ap.add_argument("--shard-id", type=int, default=0,
+                    help="with --num-shards: process sequences with "
+                    "seq_id %% num_shards == shard_id (dist_test.sh "
+                    "equivalent: one process per chip, shared eval dir, "
+                    "then aggregate once with --skip-infer)")
+    ap.add_argument("--num-shards", type=int, default=1)
     ap.add_argument("--skip-infer", action="store_true",
                     help="only aggregate an existing eval dir")
+    ap.add_argument("--skip-aggregate", action="store_true",
+                    help="only run inference (aggregate later)")
     args = ap.parse_args()
 
     from ..evalutils.dvpq import evaluate_dvpq, save_frame
 
     if not args.skip_infer:
         run_inference(args)
+    if args.skip_aggregate:
+        return
 
     results = evaluate_dvpq(args.eval_dir, nproc=args.nproc)
     for key, val in results.items():
@@ -74,6 +90,11 @@ def run_inference(args) -> None:
     ds = CityscapesDVPSDataset(args.data_root, split=args.split,
                                ref_sample_mode="img", with_depth=True)
     frames = ds.images if args.max_frames is None else ds.images[:args.max_frames]
+    if args.num_shards > 1:
+        # whole sequences per shard: the tracker state chain is sequential
+        # within a sequence but sequences are independent
+        frames = [f for f in frames
+                  if f["seq_id"] % args.num_shards == args.shard_id]
 
     # Pipelined loop: the next frame decodes on a worker thread and the
     # previous frame's outputs are written while the device computes (JAX

@@ -79,7 +79,7 @@ def main():
                              jax.nn.sigmoid(s.cls_score[0].astype(jnp.float32)),
                              ml, dl, d0, (H, W), fusion_dtype=jnp.bfloat16,
                              num_track_masks=num_track_masks,
-                             emit_marginals=True)
+                             emit_marginals=True, defer_maps=True)
 
     def scan_over(body):
         @jax.jit
@@ -93,13 +93,32 @@ def main():
 
     variants = {}
 
+    variants["backbone"] = scan_over(lambda im: (
+        model.apply(cast_vars, im[None],
+                    method=lambda m, x: m.backbone(x))[-1]
+        .astype(jnp.float32).sum(),))
+
+    variants["fpn"] = scan_over(lambda im: (
+        model.apply(cast_vars, im[None],
+                    method=PolyphonicFormer.extract_feat)[-1]
+        .astype(jnp.float32).sum(),))
+
+    variants["rpn"] = scan_over(lambda im: (
+        model.apply(cast_vars,
+                    model.apply(cast_vars, im[None],
+                                method=PolyphonicFormer.extract_feat),
+                    method=lambda m, f: m.rpn_head(f)).mask_preds
+        .astype(jnp.float32).sum(),))
+
     variants["fwd"] = scan_over(lambda im: (
         fwd_body(im)[1].stages[-1].cls_score.astype(jnp.float32).sum(),))
 
+    # all variants below consume ONLY marginals/pix_arg/depth_pix scalars
+    # (defer_maps production path) so deltas attribute real costs
     def v_fuse(im):
         _, out = fwd_body(im)
         pano = fuse_from(out, 1)
-        return (pano.semantic.sum(), pano.depth.mean())
+        return (pano.row_marg.sum(), pano.depth_pix.mean())
 
     variants["fuse"] = scan_over(v_fuse)
 
@@ -116,10 +135,8 @@ def main():
         colm = pano.col_marg[:d] * valid[:, None]
         tight = _tight_boxes_from_any(rowm > 0, colm > 0)
         mad = boxes_mad_from_marginals(rowm, colm)
-        ids_vec = jnp.arange(pano.keep.shape[0], dtype=jnp.int32)
-        track = ids_vec[pano.pix_arg]
-        return (pano.semantic.sum(), pano.depth.mean(), tight.sum(),
-                mad.sum(), track.sum())
+        return (pano.row_marg.sum(), pano.depth_pix.mean(), tight.sum(),
+                mad.sum())
 
     variants["boxes"] = scan_over(v_boxes)
 
@@ -133,9 +150,22 @@ def main():
         dummy = jnp.zeros((1, d, 1, 1), jnp.bool_)
         embeds = model.apply(cast_vars, fpn, dummy, valid[None], mad[None],
                              method=PolyphonicFormer.forward_track_embeds)
-        return (pano.semantic.sum(), embeds.astype(jnp.float32).sum())
+        return (pano.row_marg.sum(), embeds.astype(jnp.float32).sum())
 
     variants["embeds"] = scan_over(v_embeds)
+
+    from polyphonicformer_tpu.ops.pallas.map_render import render_maps
+
+    def v_render(im):
+        _, out = fwd_body(im)
+        pano = fuse_from(out, d)
+        ids_vec = jnp.arange(pano.keep.shape[0], dtype=jnp.int32)
+        sem, pan, dep, trk = render_maps(
+            pano.pix_arg, pano.depth_pix, pano.depth_basic, pano.labels,
+            pano.seg_ids, pano.keep, ids_vec, cfg.num_classes)
+        return (sem.sum(), pan.sum(), dep.mean(), trk.sum())
+
+    variants["render"] = scan_over(v_render)
 
     results = {}
     prev = None
