@@ -54,7 +54,7 @@ def main() -> None:
     # carried on device — the offline-eval / serving shape.  Frames are still
     # strictly sequential through the stateful tracker; this measures the
     # chip rather than this testbed's per-dispatch relay round-trip (~30ms).
-    t_clip = 8
+    t_clip = 32
     step = make_clip_step(model, cfg, (H, W), compute_dtype=dtype,
                           fusion_dtype=dtype)
 
