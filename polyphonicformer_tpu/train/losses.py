@@ -162,6 +162,14 @@ def compute_losses(cfg: ModelConfig, out: ModelOutput, gt: GTSample
                                             onehot, cfg.focal_gamma, cfg.focal_alpha)
         losses[f"{p}_cls"] = cfg.loss_cls_weight * (
             focal * targets.label_weights).sum() / (num_pos * b)
+        # pos_acc metric: top-1 accuracy on positive queries (reference
+        # kernel_update_head.py:400-401; metric only — excluded from total
+        # by the "_acc" suffix convention below)
+        pred_cls = jnp.argmax(so.cls_score, axis=-1)
+        pos = targets.pos_row.astype(jnp.float32)
+        correct = (pred_cls == targets.labels).astype(jnp.float32) * pos
+        losses[f"s{stage}_pos_acc"] = 100.0 * correct.sum() / jnp.maximum(
+            pos.sum(), 1.0)
 
         _mask_dice_rank_losses(cfg, scaled_mask, targets, gt, nq, p, losses)
         losses[f"{p}_depth"] = _depth_stage_loss(cfg, scaled_dep, targets, gt,
@@ -170,5 +178,6 @@ def compute_losses(cfg: ModelConfig, out: ModelOutput, gt: GTSample
         prev_mask = jax.lax.stop_gradient(scaled_mask)
         prev_cls = jax.lax.stop_gradient(so.cls_score)
 
-    total = jnp.sum(jnp.stack(list(losses.values())))
+    total = jnp.sum(jnp.stack([v for k, v in losses.items()
+                               if not k.endswith("_acc")]))
     return total, losses
