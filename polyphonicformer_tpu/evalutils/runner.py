@@ -9,7 +9,7 @@ import numpy as np
 
 
 def evaluate_frames(model_cfg, data_cfg, variables, ds, frames,
-                    verbose: bool = False) -> Dict[str, float]:
+                    verbose: bool = False, bf16: bool = False) -> Dict[str, float]:
     """Run single-frame panoptic+depth inference over ``frames`` and compute
     image PQ + depth metrics (CityscapesDVPSDataset.evaluate equivalent,
     /root/reference/datasets/cityscapes_dvps.py:350-443)."""
@@ -29,7 +29,11 @@ def evaluate_frames(model_cfg, data_cfg, variables, ds, frames,
         frame = ds.load_frame(info)
         inp = make_test_input(frame, data_cfg)
         if step is None:
-            step = make_image_step(model, model_cfg, inp["ori_hw"])
+            import jax.numpy as _jnp
+
+            dt = _jnp.bfloat16 if bf16 else _jnp.float32
+            step = make_image_step(model, model_cfg, inp["ori_hw"],
+                                   compute_dtype=dt, fusion_dtype=dt)
         res = step(variables, jnp.asarray(inp["image"])[None])
         sem = np.asarray(res.semantic).astype(np.int64)
         pan = np.asarray(res.panoptic).astype(np.int64)

@@ -361,13 +361,26 @@ def make_clip_step(model: PolyphonicFormer, cfg: ModelConfig, out_hw,
     return jax.jit(fn)
 
 
-def make_image_step(model: PolyphonicFormer, cfg: ModelConfig, out_hw):
-    """Image-mode inference: fusion only (reference Polyphonic.simple_test)."""
+def make_image_step(model: PolyphonicFormer, cfg: ModelConfig, out_hw,
+                    compute_dtype=jnp.float32, fusion_dtype=jnp.float32):
+    """Image-mode inference: fusion only (reference Polyphonic.simple_test).
+
+    compute/fusion dtype bfloat16 selects the serving fast path (Pallas
+    fusion + one-pass map rendering); float32 is reference-exact."""
+    from .panoptic import _use_pallas_fusion
+
+    defer = fusion_dtype != jnp.float32 and _use_pallas_fusion()
 
     def step(variables, image):
+        if compute_dtype != jnp.float32:
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(compute_dtype)
+                if isinstance(a, jax.Array) and a.dtype == jnp.float32 else a,
+                variables)
+            image = image.astype(compute_dtype)
         fpn = model.apply(variables, image, method=PolyphonicFormer.extract_feat)
         out = model.apply(variables, fpn, method=PolyphonicFormer.forward_heads)
-        cls_probs = jax.nn.sigmoid(out.stages[-1].cls_score[0])
+        cls_probs = jax.nn.sigmoid(out.stages[-1].cls_score[0].astype(jnp.float32))
         s = out.stages[-1]
         mask_logits = resize_bilinear(
             s.mask_preds[0], (s.mask_preds.shape[-2] * 2, s.mask_preds.shape[-1] * 2))
@@ -376,7 +389,19 @@ def make_image_step(model: PolyphonicFormer, cfg: ModelConfig, out_hw):
         depth_init = resize_bilinear(
             out.rpn.depth_pred[0:1],
             (out.rpn.depth_pred.shape[-2] * 2, out.rpn.depth_pred.shape[-1] * 2))[0]
-        return fuse_panoptic(cfg, cls_probs, mask_logits, depth_logits,
-                             depth_init, tuple(out_hw))
+        pano = fuse_panoptic(cfg, cls_probs, mask_logits, depth_logits,
+                             depth_init, tuple(out_hw),
+                             fusion_dtype=fusion_dtype,
+                             emit_marginals=defer, defer_maps=defer)
+        if defer:
+            from ..ops.pallas.map_render import render_maps
+
+            zeros = jnp.zeros_like(pano.seg_ids)
+            semantic, panoptic, depth, _ = render_maps(
+                pano.pix_arg, pano.depth_pix, pano.depth_basic, pano.labels,
+                pano.seg_ids, pano.keep, zeros, cfg.num_classes)
+            pano = pano._replace(semantic=semantic, panoptic=panoptic,
+                                 depth=depth)
+        return pano
 
     return jax.jit(step)

@@ -21,6 +21,8 @@ def main() -> None:
     ap.add_argument("--preset", default=None,
                     help="config preset (default: full R50 model)")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute + Pallas fusion fast path")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -46,7 +48,8 @@ def main() -> None:
                                ref_sample_mode="img", with_depth=True)
     frames = ds.images if args.max_frames is None else ds.images[:args.max_frames]
 
-    metrics = evaluate_frames(cfg, dc, variables, ds, frames, verbose=True)
+    metrics = evaluate_frames(cfg, dc, variables, ds, frames, verbose=True,
+                              bf16=args.bf16)
     for k, v in metrics.items():
         print(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}")
     if args.out:

@@ -102,3 +102,19 @@ def test_batched_video_step(tiny_video_model):
     assert np.isfinite(np.asarray(fo.depth)).all()
     # independent sequences: tracker ids are per-state
     assert np.asarray(states.num_tracklets).shape == (b,)
+
+
+def test_image_step_bf16_close_to_f32(tiny_video_model):
+    """bf16 image serving path (XLA fusion on CPU; Pallas+render on TPU)
+    produces near-identical maps to the reference-exact f32 path."""
+    cfg, model, variables = tiny_video_model
+    step32 = make_image_step(model, cfg, (H, W))
+    step16 = make_image_step(model, cfg, (H, W),
+                             compute_dtype=jnp.bfloat16,
+                             fusion_dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.RandomState(2).randn(1, H, W, 3), np.float32)
+    a = step32(variables, x)
+    b = step16(variables, x)
+    sem_mismatch = (np.asarray(a.semantic) != np.asarray(b.semantic)).mean()
+    assert sem_mismatch < 0.1, sem_mismatch
+    assert np.isfinite(np.asarray(b.depth)).all()

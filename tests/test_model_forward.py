@@ -103,8 +103,13 @@ class TestForward:
                     "loss_rpn_seg", "loss_rpn_depth", "loss_rpn_depth_dense"}
         for s in range(cfg.num_stages):
             expected |= {f"s{s}_loss_cls", f"s{s}_loss_mask", f"s{s}_loss_dice",
-                         f"s{s}_loss_rank", f"s{s}_loss_depth"}
+                         f"s{s}_loss_rank", f"s{s}_loss_depth",
+                         f"s{s}_pos_acc"}
         assert expected == set(losses.keys())
+        # metrics (pos_acc) are excluded from the optimized total
+        opt = sum(float(v) for k, v in losses.items()
+                  if not k.endswith("_acc"))
+        np.testing.assert_allclose(float(total), opt, rtol=1e-5)
         # gradients reach both ends of the network
         gnorm = jax.tree_util.tree_map(lambda g: float(jnp.abs(g).max()), grads)
         flat = jax.tree_util.tree_leaves_with_path(grads)
