@@ -109,15 +109,18 @@ def _masked_pool_2d(mask_logits: jax.Array, feats: jax.Array,
 
 def _fwd(mask_logits, feats, thr):
     out = _masked_pool_2d(mask_logits, feats, thr)
-    return out, mask_logits
+    # keep a dtype witness for feats: cotangents must match primal dtypes
+    # (bf16 mixed-precision training feeds bf16 feats)
+    return out, (mask_logits, jnp.zeros((), feats.dtype))
 
 
-def _bwd(thr, mask_logits, g):
+def _bwd(thr, res, g):
+    mask_logits, fproto = res
     # d/dmask = 0 (hard threshold); d/dfeat = hardᵀ @ g
     hard = (jax.nn.sigmoid(mask_logits.astype(jnp.float32)) > thr
             ).astype(jnp.float32)
     dfeat = jnp.einsum("nh,nc->hc", hard, g.astype(jnp.float32))
-    return jnp.zeros_like(mask_logits), dfeat
+    return jnp.zeros_like(mask_logits), dfeat.astype(fproto.dtype)
 
 
 _masked_pool_2d.defvjp(_fwd, _bwd)

@@ -58,7 +58,24 @@ def make_train_step(model: PolyphonicFormer, cfg: ModelConfig,
     (mmdet CheckInvalidLossHook, SURVEY.md §5.2).
     """
 
+    # mixed precision: cfg.compute_dtype='bfloat16' runs the forward/backward
+    # matmuls in bf16 while master weights, loss math, and AdamW state stay
+    # f32 (the TPU analogue of the reference's optional fp16 hook,
+    # mmdet/apis/train.py:162 — bf16's range needs no loss scaling)
+    half = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+    def _cast(tree):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(half)
+            if isinstance(a, jax.Array) and a.dtype == jnp.float32 else a, tree)
+
     def loss_fn(params, consts, batch: TrainBatch):
+        if half is not None:
+            params, consts = _cast(params), _cast(consts)
+            batch = batch.replace(
+                image=batch.image.astype(half),
+                ref_image=None if batch.ref_image is None
+                else batch.ref_image.astype(half))
         variables = {"params": params, **consts}
         if video:
             return video_forward_losses(model, variables, cfg, batch)

@@ -90,3 +90,30 @@ def test_sharded_step_on_8_device_mesh():
     batch = synthetic_batch(cfg.model, 8, hw=(H, W))
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_bf16_mixed_precision_training():
+    """compute_dtype='bfloat16' runs the fwd/bwd in bf16 with f32 master
+    weights (the reference's optional fp16 hook, mmdet/apis/train.py:162);
+    loss must stay finite and decrease."""
+    import dataclasses
+
+    cfg = ExperimentConfig(
+        model=dataclasses.replace(TINY, compute_dtype="bfloat16",
+                                  frozen_stages=-1),
+        schedule=ScheduleConfig(lr=5e-4, warmup_iters=1, warmup_ratio=1.0))
+    model = PolyphonicFormer(cfg.model)
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   (2, H, W, 3))
+    step = make_train_step(model, cfg.model, tx, donate=False)
+    batch = synthetic_batch(cfg.model, 2, hw=(H, W))
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    first = None
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["total_loss"])
+    last = float(metrics["total_loss"])
+    assert np.isfinite(last) and last < first, (first, last)
+    # master weights stay f32
+    assert state.params["backbone"]["conv1"]["kernel"].dtype == jnp.float32
