@@ -113,3 +113,16 @@ class TestHungarian:
             want_total = ref_cost[rows, cols].sum()
             got_total = cost[b][np.arange(20), np.asarray(out[b])].sum()
             np.testing.assert_allclose(got_total, want_total, rtol=1e-5, atol=1e-4)
+
+
+def test_solve_lsa_rectangular_direct():
+    """Direct rectangular solves (r x n, r<=n) match scipy's optimum."""
+    for r, n, seed in [(1, 5, 0), (4, 9, 1), (16, 100, 2), (8, 8, 3)]:
+        rng = np.random.RandomState(seed)
+        cost = rng.randn(r, n).astype(np.float32) * 7
+        rows, cols = linear_sum_assignment(cost)
+        want = cost[rows, cols].sum()
+        col4row = np.asarray(solve_lsa(jnp.asarray(cost)))
+        assert len(set(col4row.tolist())) == r
+        got = cost[np.arange(r), col4row].sum()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
