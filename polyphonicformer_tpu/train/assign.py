@@ -101,6 +101,37 @@ class AssignResult(NamedTuple):
     gt2pred: jax.Array  # (M,) int32, -1 = invalid gt
 
 
+def assignment_cost(cfg: AssignerConfig,
+                    mask_logits: jax.Array,
+                    cls_logits: Optional[jax.Array],
+                    gt: GTSample,
+                    use_valid_pixels: bool = True,
+                    depth_logits: Optional[jax.Array] = None,
+                    depth_act_mode: str = "sigmoid") -> jax.Array:
+    """The (P, M) pairwise assignment cost (everything but the solve) —
+    split out so callers can stack several problems and run ONE lockstep
+    vmapped solve (the solver's serial while_loop dominates; see
+    ops/hungarian.py)."""
+    v = gt.valid_mask if use_valid_pixels else None
+    cost = cfg.mask_weight * mask_cost(mask_logits, gt.thing_masks, v)
+    cost = cost + cfg.dice_weight * dice_cost(mask_logits, gt.thing_masks, v)
+    if cls_logits is not None and cfg.cls_weight != 0:
+        cost = cost + cfg.cls_weight * focal_cls_cost(
+            cls_logits, gt.thing_labels, cfg.focal_gamma, cfg.focal_alpha)
+    if depth_logits is not None and cfg.depth_weight != 0:
+        cost = cost + cfg.depth_weight * depth_match_cost(
+            depth_logits, gt.depth, gt.thing_masks, depth_act_mode)
+    return cost
+
+
+def solve_assignment(cost: jax.Array, gt_valid: jax.Array,
+                     num_preds: int) -> AssignResult:
+    """cost: (P, M) pairwise cost; gt_valid: (M,)."""
+    gt2pred = match_gt_to_preds(cost.T, gt_valid)
+    pred2gt = gt2pred_to_assignment(gt2pred, num_preds)
+    return AssignResult(pred2gt=pred2gt, gt2pred=gt2pred)
+
+
 def assign_masks(cfg: AssignerConfig,
                  mask_logits: jax.Array,
                  cls_logits: Optional[jax.Array],
@@ -113,16 +144,6 @@ def assign_masks(cfg: AssignerConfig,
     mask_logits: (P, h, w) detached mask logits (stride-4 scaled, like the
     reference's ``scaled_mask_preds``); cls_logits: (P, num_things) or None.
     """
-    v = gt.valid_mask if use_valid_pixels else None
-    cost = cfg.mask_weight * mask_cost(mask_logits, gt.thing_masks, v)
-    cost = cost + cfg.dice_weight * dice_cost(mask_logits, gt.thing_masks, v)
-    if cls_logits is not None and cfg.cls_weight != 0:
-        cost = cost + cfg.cls_weight * focal_cls_cost(
-            cls_logits, gt.thing_labels, cfg.focal_gamma, cfg.focal_alpha)
-    if depth_logits is not None and cfg.depth_weight != 0:
-        cost = cost + cfg.depth_weight * depth_match_cost(
-            depth_logits, gt.depth, gt.thing_masks, depth_act_mode)
-    # rows = gt, cols = preds
-    gt2pred = match_gt_to_preds(cost.T, gt.thing_valid)
-    pred2gt = gt2pred_to_assignment(gt2pred, mask_logits.shape[0])
-    return AssignResult(pred2gt=pred2gt, gt2pred=gt2pred)
+    cost = assignment_cost(cfg, mask_logits, cls_logits, gt,
+                           use_valid_pixels, depth_logits, depth_act_mode)
+    return solve_assignment(cost, gt.thing_valid, mask_logits.shape[0])

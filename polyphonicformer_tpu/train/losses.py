@@ -31,7 +31,7 @@ from ..losses.dice import dice_loss_per_row
 from ..losses.focal import sigmoid_focal_loss_elements
 from ..models.polyphonic import ModelOutput
 from ..ops.resize import resize_bilinear
-from .assign import assign_masks
+from .assign import AssignResult, assignment_cost, solve_assignment
 from .targets import StageTargets, build_seg_target, build_stage_targets
 
 
@@ -94,9 +94,49 @@ def compute_losses(cfg: ModelConfig, out: ModelOutput, gt: GTSample
     scaled_seg = _upsample2(jnp.moveaxis(out.rpn.seg_preds, -1, 1))  # (B, 19, h, w)
     scaled_depth0 = _upsample2(out.rpn.depth_pred[:, None])[:, 0]  # (B, h, w)
 
-    rpn_assign = jax.vmap(
-        lambda m, g: assign_masks(cfg.rpn_assigner, m, None, g)
-    )(jax.lax.stop_gradient(scaled_rpn_masks), gt)
+    # ---- ALL Hungarian solves in one lockstep batch ---------------------
+    # Every assignment input is a detached forward output (the previous
+    # stage's predictions), so the 1+num_stages per-image solves are
+    # independent.  The solver's serial while_loop iteration count is its
+    # entire cost on TPU, and lockstep-vmapped problems share it — so
+    # 4 solves cost one (measured: the assignment dominated the train step).
+    # Reference equivalent: the 4 sequential scipy calls per image
+    # (/root/reference/polyphonic/funcs/assigner.py:511-533).
+    cost_list = []  # each (B, P, M)
+    rpn_masks_det = jax.lax.stop_gradient(scaled_rpn_masks)
+    cost_list.append(jax.vmap(
+        lambda m, g: assignment_cost(cfg.rpn_assigner, m, None, g)
+    )(rpn_masks_det, gt))
+
+    stage_prev_mask = jax.lax.stop_gradient(_upsample2(out.rpn.mask_preds))
+    stage_prev_cls = None
+    for stage, so in enumerate(out.stages):
+        pm = stage_prev_mask[:, :np_]
+        if stage_prev_cls is None:
+            cost_list.append(jax.vmap(
+                lambda m, g: assignment_cost(cfg.rcnn_assigner, m, None, g)
+            )(pm, gt))
+        else:
+            pc = stage_prev_cls[:, :np_, :nt]
+            cost_list.append(jax.vmap(
+                lambda m, c, g: assignment_cost(cfg.rcnn_assigner, m, c, g)
+            )(pm, pc, gt))
+        stage_prev_mask = jax.lax.stop_gradient(_upsample2(so.mask_preds))
+        stage_prev_cls = jax.lax.stop_gradient(so.cls_score)
+
+    ns = len(cost_list)  # 1 + num_stages
+    costs = jnp.stack(cost_list, axis=0)  # (ns, B, P, M)
+    flat_costs = costs.reshape((ns * b,) + costs.shape[2:])
+    flat_valid = jnp.tile(gt.thing_valid, (ns, 1))
+    flat_assign = jax.vmap(
+        lambda c, v: solve_assignment(c, v, c.shape[0]))(flat_costs, flat_valid)
+    per_problem = jax.tree_util.tree_map(
+        lambda a: a.reshape((ns, b) + a.shape[1:]), flat_assign)
+    assigns = [AssignResult(pred2gt=per_problem.pred2gt[i],
+                            gt2pred=per_problem.gt2pred[i])
+               for i in range(ns)]
+
+    rpn_assign = assigns[0]
 
     rpn_targets = jax.vmap(
         lambda a, g: build_stage_targets(a, g, np_, nt, nc, cfg.ignore_label,
@@ -130,24 +170,13 @@ def compute_losses(cfg: ModelConfig, out: ModelOutput, gt: GTSample
         depth_act_mode=cfg.rpn_depth_loss.depth_act_mode)
 
     # ---- refinement stages ----------------------------------------------
-    prev_mask = jax.lax.stop_gradient(_upsample2(out.rpn.mask_preds))  # (B, 111, ...)
-    prev_cls = None
-    assign = None
-
+    # stage s is (re-)assigned on stage s-1's detached predictions
+    # (kernel_update.py:208-275) — solved above in the batched lockstep pass
     for stage, so in enumerate(out.stages):
         scaled_mask = _upsample2(so.mask_preds)
         scaled_dep = _upsample2(so.depth_preds)
 
-        cls_for_assign = (None if prev_cls is None
-                          else jax.lax.stop_gradient(prev_cls[:, :np_, :nt]))
-        if cls_for_assign is None:
-            assign = jax.vmap(
-                lambda m, g: assign_masks(cfg.rcnn_assigner, m, None, g)
-            )(prev_mask[:, :np_], gt)
-        else:
-            assign = jax.vmap(
-                lambda m, c, g: assign_masks(cfg.rcnn_assigner, m, c, g)
-            )(prev_mask[:, :np_], cls_for_assign, gt)
+        assign = assigns[stage + 1]
 
         targets = jax.vmap(
             lambda a, g: build_stage_targets(a, g, np_, nt, nc, cfg.ignore_label,
@@ -174,9 +203,6 @@ def compute_losses(cfg: ModelConfig, out: ModelOutput, gt: GTSample
         _mask_dice_rank_losses(cfg, scaled_mask, targets, gt, nq, p, losses)
         losses[f"{p}_depth"] = _depth_stage_loss(cfg, scaled_dep, targets, gt,
                                                  cfg.rcnn_depth_loss)
-
-        prev_mask = jax.lax.stop_gradient(scaled_mask)
-        prev_cls = jax.lax.stop_gradient(so.cls_score)
 
     total = jnp.sum(jnp.stack([v for k, v in losses.items()
                                if not k.endswith("_acc")]))
