@@ -91,14 +91,12 @@ def map_roi_levels(rois: jax.Array, num_levels: int = 4,
     return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
 
 
-def multilevel_roi_align(feats: Sequence[jax.Array], rois: jax.Array,
-                         strides: Sequence[int] = (4, 8, 16, 32),
-                         out_size: int = 7, sampling_ratio: int = 2,
-                         finest_scale: int = 56) -> jax.Array:
-    """RoIAlign with FPN routing. feats: list of (H_l, W_l, C); rois (M, 4).
-
-    Computes all levels densely then selects — static shapes, no scatter.
-    """
+def multilevel_roi_align_dense(feats: Sequence[jax.Array], rois: jax.Array,
+                               strides: Sequence[int] = (4, 8, 16, 32),
+                               out_size: int = 7, sampling_ratio: int = 2,
+                               finest_scale: int = 56) -> jax.Array:
+    """Reference formulation: sample EVERY level for every RoI, then select
+    with a one-hot contraction (kept as the oracle for the flat version)."""
     lvls = map_roi_levels(rois, len(feats), finest_scale)
     per_level = [
         roi_align_level(f, rois, out_size, sampling_ratio, 1.0 / s)
@@ -107,6 +105,83 @@ def multilevel_roi_align(feats: Sequence[jax.Array], rois: jax.Array,
     stacked = jnp.stack(per_level, axis=1)  # (M, L, out, out, C)
     onehot = jax.nn.one_hot(lvls, len(feats), dtype=stacked.dtype)
     return jnp.einsum("mlhwc,ml->mhwc", stacked, onehot)
+
+
+def multilevel_roi_align(feats: Sequence[jax.Array], rois: jax.Array,
+                         strides: Sequence[int] = (4, 8, 16, 32),
+                         out_size: int = 7, sampling_ratio: int = 2,
+                         finest_scale: int = 56) -> jax.Array:
+    """RoIAlign with FPN routing. feats: list of (H_l, W_l, C); rois (M, 4).
+
+    Flattened-pyramid formulation: the levels concatenate into one
+    (sum H_l*W_l, C) table and each RoI's samples index through a per-RoI
+    level offset — one gather pass instead of sampling all 4 levels and
+    selecting (4x fewer gathers than the dense-and-select pattern; shapes
+    stay fully static).
+    """
+    import numpy as _np
+
+    num_levels = len(feats)
+    c = feats[0].shape[-1]
+    dtype = feats[0].dtype
+    lvls = map_roi_levels(rois, num_levels, finest_scale)  # (M,)
+    hs = jnp.asarray([f.shape[0] for f in feats], jnp.int32)
+    ws = jnp.asarray([f.shape[1] for f in feats], jnp.int32)
+    offs = jnp.asarray(
+        _np.cumsum([0] + [f.shape[0] * f.shape[1] for f in feats])[:-1],
+        jnp.int32)
+    scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)
+    flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+
+    m = rois.shape[0]
+    sc = scales[lvls]  # (M,)
+    h_l, w_l, off_l = hs[lvls], ws[lvls], offs[lvls]  # (M,)
+
+    x1 = rois[:, 0] * sc - 0.5
+    y1 = rois[:, 1] * sc - 0.5
+    x2 = rois[:, 2] * sc - 0.5
+    y2 = rois[:, 3] * sc - 0.5
+    g = sampling_ratio
+    bin_idx = jnp.arange(out_size, dtype=jnp.float32)
+    sub_idx = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
+    off = bin_idx[:, None] + sub_idx[None, :]  # (out, g) in units of bins
+    ys = y1[:, None, None] + off[None] * ((y2 - y1) / out_size)[:, None, None]
+    xs = x1[:, None, None] + off[None] * ((x2 - x1) / out_size)[:, None, None]
+    yy = jnp.broadcast_to(ys[:, :, :, None, None],
+                          (m, out_size, g, out_size, g)).reshape(m, -1)
+    xx = jnp.broadcast_to(xs[:, None, None, :, :],
+                          (m, out_size, g, out_size, g)).reshape(m, -1)
+
+    # bilinear with per-RoI level bounds (same semantics as _bilinear_sample)
+    hf = h_l[:, None].astype(jnp.float32)
+    wf = w_l[:, None].astype(jnp.float32)
+    valid = (yy >= -1.0) & (yy <= hf) & (xx >= -1.0) & (xx <= wf)
+    y = jnp.clip(yy, 0.0, None)
+    x = jnp.clip(xx, 0.0, None)
+    y_low = jnp.floor(y).astype(jnp.int32)
+    x_low = jnp.floor(x).astype(jnp.int32)
+    over_y = y_low >= h_l[:, None] - 1
+    over_x = x_low >= w_l[:, None] - 1
+    y_low = jnp.where(over_y, h_l[:, None] - 1, y_low)
+    x_low = jnp.where(over_x, w_l[:, None] - 1, x_low)
+    y = jnp.where(over_y, y_low.astype(y.dtype), y)
+    x = jnp.where(over_x, x_low.astype(x.dtype), x)
+    y_high = jnp.minimum(y_low + 1, h_l[:, None] - 1)
+    x_high = jnp.minimum(x_low + 1, w_l[:, None] - 1)
+    ly = (y - y_low).astype(dtype)
+    lx = (x - x_low).astype(dtype)
+    hy, hx = 1.0 - ly, 1.0 - lx
+    base = off_l[:, None]
+    wl = w_l[:, None]
+    v1 = flat[base + y_low * wl + x_low]
+    v2 = flat[base + y_low * wl + x_high]
+    v3 = flat[base + y_high * wl + x_low]
+    v4 = flat[base + y_high * wl + x_high]
+    out = (hy * hx)[..., None] * v1 + (hy * lx)[..., None] * v2 \
+        + (ly * hx)[..., None] * v3 + (ly * lx)[..., None] * v4
+    out = jnp.where(valid[..., None], out, 0.0)
+    out = out.reshape(m, out_size, g, out_size, g, c)
+    return out.mean(axis=(2, 4))
 
 
 def masks_to_boxes_mad(masks: jax.Array, extend: float = 2.0) -> jax.Array:

@@ -99,3 +99,27 @@ def test_sem2ins_masks_cityscapes():
     masks, labels, _ = sem2ins_masks_cityscapes(sem, inst)
     assert masks.shape[0] == 4
     assert set(labels.tolist()) == {0, 2, 8, 9}  # person=0, car=2, stuff 8+
+
+
+def test_semkitti_mode_nearest_gt_downsample():
+    """semantic_kitti=True downsamples GT masks with torch-nearest (binary
+    output) vs the default bilinear soft masks (reference
+    polyphonic_former.py:77-80); preset video_r50_semkitti_1x wires it."""
+    from polyphonicformer_tpu.configs import get_preset
+
+    exp = get_preset("video_r50_semkitti_1x")
+    assert exp.model.semantic_kitti and exp.data.img_size == (384, 1248)
+
+    rng = np.random.RandomState(3)
+    f = make_frame(rng)
+    f["img"] = f["img"].astype(np.float32)
+    s_near = frame_to_sample(f, ModelConfig(max_things=16,
+                                            semantic_kitti=True), (128, 256))
+    s_bil = frame_to_sample(f, ModelConfig(max_things=16), (128, 256))
+    tm = s_near["thing_masks"][s_near["thing_valid"]]
+    # nearest keeps masks binary; bilinear produces fractional edge values
+    assert set(np.unique(tm)).issubset({0.0, 1.0})
+    bl = s_bil["thing_masks"][s_bil["thing_valid"]]
+    assert ((bl > 0) & (bl < 1)).any()
+    # same instances survive either way
+    assert (s_near["thing_valid"] == s_bil["thing_valid"]).all()

@@ -126,3 +126,29 @@ def test_solve_lsa_rectangular_direct():
         assert len(set(col4row.tolist())) == r
         got = cost[np.arange(r), col4row].sum()
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_multilevel_roi_align_flat_equals_dense():
+    """The flattened-pyramid RoIAlign (one gather pass) is numerically
+    identical to sampling every level and selecting (the mmcv-parity
+    oracle path, itself validated in test_reference_video_parity)."""
+    from polyphonicformer_tpu.ops.roi_align import (
+        multilevel_roi_align,
+        multilevel_roi_align_dense,
+    )
+
+    rng = np.random.RandomState(0)
+    feats = [jnp.asarray(rng.randn(64 // (2 ** i), 128 // (2 ** i), 16),
+                         jnp.float32) for i in range(4)]
+    # boxes spanning all FPN levels, incl. degenerate/out-of-range ones
+    rois = np.stack([
+        rng.uniform(0, 200, 12), rng.uniform(0, 120, 12),
+        rng.uniform(0, 512, 12), rng.uniform(0, 256, 12)], axis=1)
+    rois = np.sort(rois.reshape(12, 2, 2), axis=1).transpose(0, 2, 1) \
+        .reshape(12, 4)[:, [0, 2, 1, 3]]
+    rois = jnp.asarray(np.concatenate(
+        [rois, [[0, 0, 0, 0]], [[5, 5, 500, 250]]]), jnp.float32)
+    a = multilevel_roi_align(feats, rois)
+    b = multilevel_roi_align_dense(feats, rois)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
