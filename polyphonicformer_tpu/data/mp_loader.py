@@ -195,18 +195,25 @@ class MPTrainLoader:
             self._ring = None
 
     def _next_sample(self) -> Tuple[Dict, Optional[Dict]]:
+        idle_rounds = 0
         while True:
             try:
                 slot = self._ready_q.get(timeout=10)
                 break
             except queue_mod.Empty:
                 # don't hang forever on crashed workers (e.g. an unpicklable
-                # dataset or a spawn re-import error kills them at startup)
+                # dataset or a spawn re-import error kills them at startup).
+                # A PARTIAL crash can also starve the ring (dead workers may
+                # hold unreturned slots), so any dead worker plus several
+                # consecutive empty timeouts is fatal too.
+                idle_rounds += 1
                 dead = [p.exitcode for p in self._procs if not p.is_alive()]
-                if dead and len(dead) == len(self._procs):
+                if dead and (len(dead) == len(self._procs)
+                             or idle_rounds >= 3):
                     raise RuntimeError(
-                        f"all {len(dead)} loader workers died "
-                        f"(exitcodes {dead}); check worker stderr")
+                        f"{len(dead)}/{len(self._procs)} loader workers died "
+                        f"(exitcodes {dead}) and no sample arrived for "
+                        f"{idle_rounds * 10}s; check worker stderr")
         views = self._ring.views(slot)
         key = {s.name: np.array(views[s.name], copy=True)
                for s in self.specs if not s.name.startswith("ref_")}

@@ -51,6 +51,14 @@ def main() -> None:
         run_inference(args)
     if args.skip_aggregate:
         return
+    if args.num_shards > 1:
+        # other shard processes may still be writing into the shared eval
+        # dir; aggregating now would yield partial/racy DVPQ. Aggregate
+        # once afterwards with --skip-infer.
+        print(f"shard {args.shard_id}/{args.num_shards}: inference done; "
+              "skipping aggregation (run once with --skip-infer when all "
+              "shards have finished)")
+        return
 
     results = evaluate_dvpq(args.eval_dir, nproc=args.nproc)
     for key, val in results.items():

@@ -62,10 +62,18 @@ def main() -> None:
                    PROCESS_ID=str(pid))
         if args.sim_cpu:
             env["JAX_PLATFORMS"] = "cpu"
-            env["PYTHONPATH"] = os.getcwd()  # strip any TPU-relay site hook
-            env["XLA_FLAGS"] = (
-                env.get("XLA_FLAGS", "")
-                + f" --xla_force_host_platform_device_count={args.devices_per_proc}")
+            # strip only the TPU-relay site hook; keep other PYTHONPATH
+            # entries child modules may need, with cwd prepended
+            kept = [p for p in env.get("PYTHONPATH", "").split(":")
+                    if p and ".axon_site" not in p and p != os.getcwd()]
+            env["PYTHONPATH"] = ":".join([os.getcwd()] + kept)
+            # drop any inherited device-count token (whole token — XLA
+            # rejects duplicates/unknown flags fatally) before adding ours
+            flags = [t for t in env.get("XLA_FLAGS", "").split()
+                     if "--xla_force_host_platform_device_count" not in t]
+            flags.append("--xla_force_host_platform_device_count="
+                         f"{args.devices_per_proc}")
+            env["XLA_FLAGS"] = " ".join(flags)
         procs.append(subprocess.Popen(
             [sys.executable, "-m", args.module, *args.args], env=env))
     rc = 0

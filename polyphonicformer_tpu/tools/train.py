@@ -89,7 +89,12 @@ def main() -> None:
                              seed=args.seed + 1000 * rank)
 
     dataset_len = len(ds) * cfg.data.repeat_times
-    steps_per_epoch = max(dataset_len // cfg.data.batch_size, 1)
+    # cfg.data.batch_size is PER-PROCESS (reference: samples_per_gpu); the
+    # global batch consumed per step is batch_size × process_count, so the
+    # step counts — and the LR schedule / ckpt / eval intervals derived from
+    # them — divide by world size exactly like mmdet's DDP sampler does.
+    global_batch = cfg.data.batch_size * jax.process_count()
+    steps_per_epoch = max(dataset_len // global_batch, 1)
     total_steps = args.max_steps or steps_per_epoch * cfg.schedule.total_epochs
 
     model = PolyphonicFormer(cfg.model)
