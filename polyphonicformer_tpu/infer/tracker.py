@@ -16,7 +16,9 @@ Semantics preserved:
 * ids: -1 unmatched, -2 suppressed-by-confident-backdrop-match; new ids for
   unmatched detections above init_score_thr;
 * EMA embedding update (momentum), velocity accumulation, tracklet expiry
-  after memo_tracklet_frames, one-frame backdrop buffer with IoU filtering.
+  after memo_tracklet_frames, memo_backdrop_frames-deep backdrop ring
+  (newest block first, like the reference's newest-first list) with IoU
+  filtering.
 """
 from __future__ import annotations
 
@@ -48,10 +50,11 @@ class TrackerState:
 
 
 def init_tracker_state(cfg: TrackerConfig, embed_dim: int) -> TrackerState:
-    assert cfg.memo_backdrop_frames == 1, (
-        "the static tracker keeps exactly one backdrop frame (the shipped "
-        "reference config value); generalize bd_* to a ring buffer for more")
     t, d = cfg.max_tracklets, cfg.max_detections
+    # backdrop ring: memo_backdrop_frames blocks of max_detections slots,
+    # newest block first (reference keeps a newest-first list,
+    # quasi_dense_embed_tracker.py:28,96-99)
+    bd = d * cfg.memo_backdrop_frames
     return TrackerState(
         ids=jnp.full((t,), -1, jnp.int32),
         embeds=jnp.zeros((t, embed_dim), jnp.float32),
@@ -61,10 +64,10 @@ def init_tracker_state(cfg: TrackerConfig, embed_dim: int) -> TrackerState:
         velocities=jnp.zeros((t, 5), jnp.float32),
         acc_frames=jnp.zeros((t,), jnp.int32),
         num_tracklets=jnp.zeros((), jnp.int32),
-        bd_embeds=jnp.zeros((d, embed_dim), jnp.float32),
-        bd_bboxes=jnp.zeros((d, 5), jnp.float32),
-        bd_labels=jnp.zeros((d,), jnp.int32),
-        bd_valid=jnp.zeros((d,), bool),
+        bd_embeds=jnp.zeros((bd, embed_dim), jnp.float32),
+        bd_bboxes=jnp.zeros((bd, 5), jnp.float32),
+        bd_labels=jnp.zeros((bd,), jnp.int32),
+        bd_valid=jnp.zeros((bd,), bool),
     )
 
 
@@ -234,11 +237,15 @@ def tracker_step(cfg: TrackerConfig, state: TrackerState, bboxes: jax.Array,
     bd_overlap = ((ious_dd > cfg.nms_backdrop_iou_thr) & tri &
                   det_valid[None, :]).any(axis=1)
     bd_keep = bd_cand & ~bd_overlap
+    # ring shift: newest block of max_detections slots first, oldest drops
     state = state.replace(
-        bd_embeds=embeds * bd_keep[:, None],
-        bd_bboxes=bboxes * bd_keep[:, None],
-        bd_labels=jnp.where(bd_keep, labels, -999),
-        bd_valid=bd_keep,
+        bd_embeds=jnp.concatenate(
+            [embeds * bd_keep[:, None], state.bd_embeds[:-d]], axis=0),
+        bd_bboxes=jnp.concatenate(
+            [bboxes * bd_keep[:, None], state.bd_bboxes[:-d]], axis=0),
+        bd_labels=jnp.concatenate(
+            [jnp.where(bd_keep, labels, -999), state.bd_labels[:-d]]),
+        bd_valid=jnp.concatenate([bd_keep, state.bd_valid[:-d]]),
     )
 
     # expire stale tracklets

@@ -55,8 +55,13 @@ class ResNet(nn.Module):
     depth: str = "resnet50"
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> Tuple[jax.Array, ...]:
-        """x: (B, H, W, 3) normalized. Returns C2..C5 (strides 4/8/16/32)."""
+    def __call__(self, x: jax.Array,
+                 num_stages: int = 4) -> Tuple[jax.Array, ...]:
+        """x: (B, H, W, 3) normalized. Returns C2..C5 (strides 4/8/16/32).
+
+        ``num_stages`` (static; 0 = stem only) truncates the stack — used by
+        the perf-breakdown tooling to attribute time per stage.
+        """
         blocks = _STAGE_BLOCKS[self.depth]
         # stem: 7x7/2 + maxpool 3x3/2
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
@@ -64,10 +69,12 @@ class ResNet(nn.Module):
         y = FrozenBatchNorm(64, name="bn1")(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if num_stages == 0:
+            return (y,)
 
         outs = []
         planes = 64
-        for stage_idx, num_blocks in enumerate(blocks):
+        for stage_idx, num_blocks in enumerate(blocks[:num_stages]):
             stride = 1 if stage_idx == 0 else 2
             for block_idx in range(num_blocks):
                 y = Bottleneck(

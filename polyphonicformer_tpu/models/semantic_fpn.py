@@ -35,7 +35,10 @@ class SemanticFPNWrapper(nn.Module):
     num_aux_convs: int = 2
 
     @nn.compact
-    def __call__(self, feats: Sequence[jax.Array]) -> Tuple[jax.Array, ...]:
+    def __call__(self, feats: Sequence[jax.Array],
+                 towers_only: bool = False) -> Tuple[jax.Array, ...]:
+        """``towers_only`` (static): return just the fused stride-8 map,
+        skipping the pred/aux 1x1 branches — perf-breakdown tooling only."""
         p2, p3, p4, p5 = feats
         g = self.gn_groups
         c = self.feat_channels
@@ -67,6 +70,8 @@ class SemanticFPNWrapper(nn.Module):
                          kernel_init=_NORMAL01)(t3)
 
         fused = t0 + t1 + t2 + t3
+        if towers_only:
+            return (fused,)
 
         loc = ConvNormAct(self.out_channels, 1, gn_groups=g, name="conv_pred",
                           kernel_init=_NORMAL01)(fused)

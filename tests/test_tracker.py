@@ -125,10 +125,12 @@ class OracleTracker:
             self.backdrops.pop()
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
-def test_tracker_matches_oracle(seed):
+@pytest.mark.parametrize("seed,backdrop_frames",
+                         [(0, 1), (1, 1), (2, 1), (0, 2), (3, 3)])
+def test_tracker_matches_oracle(seed, backdrop_frames):
     rng = np.random.RandomState(seed)
-    cfg = TrackerConfig(max_tracklets=32, max_detections=16)
+    cfg = TrackerConfig(max_tracklets=32, max_detections=16,
+                        memo_backdrop_frames=backdrop_frames)
     oracle = OracleTracker(cfg)
     state = init_tracker_state(cfg, embed_dim=8)
     step = jax.jit(lambda s, b, l, e, v, f: tracker_step(cfg, s, b, l, e, v, f))
