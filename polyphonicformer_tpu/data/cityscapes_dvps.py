@@ -82,6 +82,18 @@ def load_panoptic(path: str, divisor: int = INSTANCE_DIVISOR) -> np.ndarray:
     return to_coco(ps, divisor)
 
 
+def load_panoptic_pair(cls_path: str, inst_path: str,
+                       divisor: int = INSTANCE_DIVISOR) -> np.ndarray:
+    """SemKITTI-DVPS split GT (gtFine_class trainId PNG + gtFine_instance
+    in-class id PNG) -> the combined trainId*1000+inst convention, then the
+    same thing-first remap as Cityscapes."""
+    cls = imread_unchanged(cls_path).astype(np.int64)
+    inst = imread_unchanged(inst_path).astype(np.int64)
+    cls = np.where(cls == 255, NO_OBJ, cls)  # void -> no-obj
+    combined = cls * DIVISOR_PAN + np.where(cls == NO_OBJ, 0, inst)
+    return to_coco(combined, divisor)
+
+
 def decode_segments(pan: np.ndarray, divisor: int = INSTANCE_DIVISOR):
     """Panoptic id map -> per-segment binary masks/labels/instance ids,
     dropping the no-obj class (loading.py:196-254)."""
@@ -119,18 +131,45 @@ class CityscapesDVPSDataset:
         self.with_depth = with_depth
         self.test_mode = test_mode
 
-        names = sorted(f for f in os.listdir(seq_dir) if "leftImg8bit" in f)
+        all_files = sorted(os.listdir(seq_dir))
+        file_set = set(all_files)
+        names = [f for f in all_files if "leftImg8bit" in f]
         images: List[Dict] = []
         for name in names:
-            seq_id, img_id, location, _ = name.split("_", maxsplit=3)
+            # Cityscapes-DVPS: {seq}_{img}_{location}_..._leftImg8bit.png
+            # (reference datasets/cityscapes_dvps.py:152, 6 '_'-fields);
+            # SemKITTI-DVPS:   {seq:06d}_{frame:06d}_leftImg8bit.png
+            parts = name.split("_")
+            seq_id, img_id = parts[0], parts[1]
+            location = parts[2] if len(parts) > 3 else ""
             full = os.path.join(seq_dir, name)
+            depth = None
+            if with_depth:
+                depth = full.replace("leftImg8bit", "depth")
+                if os.path.basename(depth) not in file_set:
+                    # SemKITTI depth PNGs carry the focal length:
+                    # {seq}_{frame}_depth_{focal}.png
+                    prefix = f"{seq_id}_{img_id}_depth"
+                    cand = [f for f in all_files
+                            if f.startswith(prefix) and f.endswith(".png")]
+                    assert cand, f"no depth file for {name}"
+                    depth = os.path.join(seq_dir, cand[0])
+            ann = full.replace("leftImg8bit", "gtFine_instanceTrainIds")
+            ann_inst = None
+            if os.path.basename(ann) not in file_set:
+                # SemKITTI-DVPS splits GT into class + in-class instance PNGs
+                cls_ann = full.replace("leftImg8bit", "gtFine_class")
+                inst_ann = full.replace("leftImg8bit", "gtFine_instance")
+                if os.path.basename(cls_ann) in file_set:
+                    ann, ann_inst = cls_ann, inst_ann
             images.append(dict(
                 seq_id=int(seq_id),
                 img_id=int(img_id),
                 location=location,
                 img=full,
-                depth=full.replace("leftImg8bit", "depth") if with_depth else None,
-                ann=full.replace("leftImg8bit", "gtFine_instanceTrainIds"),
+                depth=depth,
+                ann=ann,
+                ann_inst=ann_inst,
             ))
         self.by_key = {(im["seq_id"], im["img_id"]): im for im in images}
         self.images = images
@@ -209,7 +248,10 @@ class CityscapesDVPSDataset:
     def load_frame(self, info: Dict):
         """Decode one frame's image + GT arrays."""
         img = imread_rgb(info["img"])
-        pan = load_panoptic(info["ann"])
+        if info.get("ann_inst"):
+            pan = load_panoptic_pair(info["ann"], info["ann_inst"])
+        else:
+            pan = load_panoptic(info["ann"])
         depth = load_depth(info["depth"]) if self.with_depth else None
         masks, labels, inst_ids = decode_segments(pan)
         return dict(img=img, pan=pan, depth=depth, masks=masks, labels=labels,

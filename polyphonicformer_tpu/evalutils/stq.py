@@ -55,7 +55,12 @@ def stq_element(y_pred: np.ndarray, y_true: np.ndarray, num_classes: int = 19,
 
 
 class STQAccumulator:
-    """Aggregates stq_element outputs over the frames of many sequences."""
+    """Aggregates stq_element outputs over the frames of many sequences.
+
+    Track-id stores are keyed by (seq_id, instance id): instance ids are
+    only consistent WITHIN a sequence, so the same numeric id in two
+    sequences must count as two distinct tracks (DeepLab2 STQuality prefixes
+    ids with the sequence for the same reason)."""
 
     def __init__(self, num_classes: int = 19, num_things: int = 8,
                  label_divisor: int = 10**4, ins_divisor: int = 10**7):
@@ -64,9 +69,9 @@ class STQAccumulator:
         self.label_divisor = label_divisor
         self.ins_divisor = ins_divisor
         self._sem: Dict[int, int] = {}
-        self._pred: Dict[int, int] = {}
-        self._gt: Dict[int, int] = {}
-        self._inter: Dict[int, int] = {}
+        self._pred: Dict[tuple, int] = {}
+        self._gt: Dict[tuple, int] = {}
+        self._inter: Dict[tuple, int] = {}
 
     @staticmethod
     def _acc(store: Dict[int, int], ids: np.ndarray) -> None:
@@ -74,15 +79,19 @@ class STQAccumulator:
         for v, c in zip(vals.tolist(), counts.tolist()):
             store[v] = store.get(v, 0) + int(c)
 
-    def update(self, y_pred: np.ndarray, y_true: np.ndarray) -> None:
+    def update(self, y_pred: np.ndarray, y_true: np.ndarray,
+               seq_id: int = 0) -> None:
         sem_ids, seq_preds, seg_labels, inter_ids = stq_element(
             y_pred, y_true, num_classes=self.num_classes,
             num_things=self.num_things, label_divisor=self.label_divisor,
             ins_divisor=self.ins_divisor)
         self._acc(self._sem, sem_ids)
-        self._acc(self._pred, seq_preds)
-        self._acc(self._gt, seg_labels)
-        self._acc(self._inter, inter_ids)
+        for store, ids in ((self._pred, seq_preds), (self._gt, seg_labels),
+                           (self._inter, inter_ids)):
+            vals, counts = np.unique(ids, return_counts=True)
+            for v, c in zip(vals.tolist(), counts.tolist()):
+                key = (seq_id, v)
+                store[key] = store.get(key, 0) + int(c)
 
     def result(self) -> Dict[str, float]:
         nc = self.num_classes
@@ -100,16 +109,17 @@ class STQAccumulator:
                 ious.append(tp / max(denom, 1))
         sq = float(np.mean(ious)) if ious else 0.0
 
-        # AQ over GT tracks
+        # AQ over GT tracks (tracks are (seq, id)-scoped)
         aq_sum, n_tracks = 0.0, 0
-        inter_by_gt: Dict[int, List[Tuple[int, int]]] = {}
-        for key, cnt in self._inter.items():
+        inter_by_gt: Dict[tuple, List[Tuple[tuple, int]]] = {}
+        for (seq, key), cnt in self._inter.items():
             gt_id, pred_id = divmod(key, self.ins_divisor)
-            inter_by_gt.setdefault(gt_id, []).append((pred_id, cnt))
-        for gt_id, gt_size in self._gt.items():
+            inter_by_gt.setdefault((seq, gt_id), []).append(
+                ((seq, pred_id), cnt))
+        for gt_key, gt_size in self._gt.items():
             track_aq = 0.0
-            for pred_id, inter in inter_by_gt.get(gt_id, []):
-                pred_size = self._pred.get(pred_id, 0)
+            for pred_key, inter in inter_by_gt.get(gt_key, []):
+                pred_size = self._pred.get(pred_key, 0)
                 union = gt_size + pred_size - inter
                 track_aq += inter * (inter / max(union, 1))
             aq_sum += track_aq / max(gt_size, 1)
@@ -123,7 +133,7 @@ def evaluate_stq(sequences: Iterable[Iterable[Tuple[np.ndarray, np.ndarray]]],
     """sequences: iterable of sequences, each an iterable of
     (pred_pan, gt_pan) frame pairs with sequence-consistent instance ids."""
     acc = STQAccumulator(num_classes=num_classes, num_things=num_things)
-    for seq in sequences:
+    for seq_idx, seq in enumerate(sequences):
         for pred, gt in seq:
-            acc.update(pred, gt)
+            acc.update(pred, gt, seq_id=seq_idx)
     return acc.result()

@@ -43,6 +43,14 @@ def main() -> None:
                     help="only aggregate an existing eval dir")
     ap.add_argument("--skip-aggregate", action="store_true",
                     help="only run inference (aggregate later)")
+    ap.add_argument("--set", nargs="*", dest="overrides",
+                    help="dotted-path config overrides key=value "
+                    "(reference --cfg-options, tools/test_video.py:94)")
+    ap.add_argument("--eval-stq", action="store_true",
+                    help="also aggregate STQ (the SemKITTI-DVPS challenge "
+                    "metric; the reference ships the components in "
+                    "datasets/utils.py:140-168 but never wires them to a "
+                    "tool)")
     args = ap.parse_args()
 
     from ..evalutils.dvpq import evaluate_dvpq, save_frame
@@ -64,8 +72,30 @@ def main() -> None:
     for key, val in results.items():
         print(f"DVPQ[{key}] : {val['pq']:.3f} thing {val['pq_thing']:.3f} "
               f"stuff {val['pq_stuff']:.3f}")
+    if args.eval_stq:
+        results["stq"] = aggregate_stq(args.eval_dir)
+        print("STQ : " + "  ".join(f"{k} {v:.4f}"
+                                   for k, v in results["stq"].items()))
     with open(os.path.join(args.eval_dir, "dvpq.json"), "w") as f:
         json.dump(results, f, indent=2)
+
+
+def aggregate_stq(eval_dir: str) -> dict:
+    """STQ over the saved pred/gt frame dumps, per-sequence association."""
+    import numpy as np
+
+    from ..evalutils.dvpq import list_frames
+    from ..evalutils.stq import STQAccumulator
+
+    pred_paths = list_frames(eval_dir, "pred")
+    gt_paths = list_frames(eval_dir, "gt")
+    acc = STQAccumulator()
+    for pp, gp in zip(pred_paths, gt_paths):
+        seq_id = int(os.path.basename(pp).split("_")[0])
+        pred = np.load(pp)["panseg"].astype(np.int64)
+        gt = np.load(gp)["panseg"].astype(np.int64)
+        acc.update(pred, gt, seq_id=seq_id)
+    return acc.result()
 
 
 def run_inference(args) -> None:
@@ -74,7 +104,6 @@ def run_inference(args) -> None:
     import jax
     import jax.numpy as jnp
 
-    from ..configs import DataConfig, ModelConfig
     from ..data.cityscapes_dvps import CityscapesDVPSDataset, INSTANCE_DIVISOR
     from ..data.pipeline import make_test_input
     from ..evalutils.dvpq import save_frame
@@ -86,9 +115,21 @@ def run_inference(args) -> None:
         from ..configs import get_preset
 
         exp = get_preset(args.preset)
-        cfg, dc = exp.model, exp.data
     else:
-        cfg, dc = ModelConfig(with_track=True), DataConfig()
+        import dataclasses
+
+        from ..configs import ExperimentConfig
+
+        exp = ExperimentConfig()
+        exp = dataclasses.replace(
+            exp, model=dataclasses.replace(exp.model, with_track=True))
+    if getattr(args, "overrides", None):
+        from ..configs import apply_overrides
+
+        from .train import parse_overrides
+
+        exp = apply_overrides(exp, parse_overrides(args.overrides))
+    cfg, dc = exp.model, exp.data
     model = PolyphonicFormer(cfg)
     with open(args.checkpoint, "rb") as f:
         variables = pickle.load(f)
