@@ -51,6 +51,37 @@ class Bottleneck(nn.Module):
         return nn.relu(y + identity)
 
 
+class _StemConv(nn.Module):
+    """7x7/s2 stem conv with a TPU lane-padding fix.
+
+    XLA's conv at C_in=3 runs ~20x off roofline on TPU (3 of 128 lanes
+    used); zero-padding the input and kernel to 8 channels selects a ~2x
+    faster conv path with mathematically identical output (measured
+    3.48 -> 1.87 ms at 1024x2048 bf16, tools_dev/bench_stem3.py).  Applied
+    only on the bf16 compute path so the f32 reference-exact path keeps
+    XLA's original op selection bit-for-bit.
+
+    Param layout matches nn.Conv (kernel (7,7,3,64) under this module's
+    scope) so the torch-checkpoint converter is unaffected.
+    """
+
+    features: int = 64
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (7, 7, 3, self.features))
+        dt = jnp.promote_types(x.dtype, w.dtype)
+        x = x.astype(dt)
+        w = w.astype(dt)
+        if dt == jnp.bfloat16:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 5)))
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, 5), (0, 0)))
+        return jax.lax.conv_general_dilated(
+            x, w, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNet(nn.Module):
     depth: str = "resnet50"
 
@@ -64,8 +95,7 @@ class ResNet(nn.Module):
         """
         blocks = _STAGE_BLOCKS[self.depth]
         # stem: 7x7/2 + maxpool 3x3/2
-        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, name="conv1")(x)
+        y = _StemConv(name="conv1")(x)
         y = FrozenBatchNorm(64, name="bn1")(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
