@@ -141,6 +141,11 @@ class ModelConfig:
     mask_thr: float = 0.5
     overlap_thr: float = 0.6
     instance_score_thr: float = 0.3
+    # bf16 Pallas fusion: thing rows given full render capacity; the rest
+    # (score-sorted, below instance_score_thr in practice) are prune-folded
+    # into an exact max channel (infer/panoptic.py, phase_fusion n_full).
+    # 53 + 11 stuff = 64 rows. >= max_per_img disables the prune.
+    fusion_full_things: int = 53
 
     # video additions
     with_track: bool = False

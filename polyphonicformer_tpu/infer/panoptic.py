@@ -122,6 +122,11 @@ class PanopticResult(NamedTuple):
     # with defer_maps=True: the winner-depth map (panoptic/semantic/depth are
     # None; the caller renders all maps in one pallas pass, map_render.py)
     depth_pix: jax.Array | None = None  # (H, W) float32
+    # candidate rows that can actually render (pallas fast path compacts
+    # eligible candidates to the front — see fusion prune below); rows
+    # beyond n_render have keep=False by construction, so per-candidate
+    # tables passed to map rendering may be truncated to [:n_render]
+    n_render: int | None = None  # static python int; None = all kk
 
 
 def fuse_panoptic(cfg: ModelConfig,
@@ -172,6 +177,31 @@ def fuse_panoptic(cfg: ModelConfig,
     kk = k + ns
     is_thing = jnp.arange(kk) < k
 
+    hs, ws = mask_logits.shape[-2:]
+    phased = (h % hs == 0 and w % ws == 0 and 1 <= h // hs <= 8
+              and 1 <= w // ws <= 8)
+    use_kernel = (phased and fusion_dtype != jnp.float32
+                  and _use_pallas_fusion())
+    n_render = None
+    if use_kernel and cfg.fusion_full_things < k:
+        # fusion prune: things are score-sorted, so things that can pass the
+        # keep gate (score >= instance_score_thr) form a PREFIX; stuff is
+        # always eligible.  Compact [top things, stuff] to the front; the
+        # kernel folds the remaining (never-renderable) thing rows into one
+        # exact max channel (ops/pallas/phase_fusion.py).  All candidate
+        # arrays below use this permuted order consistently.  Capacity knob:
+        # if more than fusion_full_things things pass the gate at once, the
+        # excess (lowest-scoring) ones render void — same class of static
+        # cap as tracker.max_detections.
+        ke_t = cfg.fusion_full_things
+        perm = jnp.concatenate([jnp.arange(ke_t), k + jnp.arange(ns),
+                                jnp.arange(ke_t, k)])
+        cand_rows = cand_rows[perm]
+        scores = scores[perm]
+        labels = labels[perm]
+        is_thing = perm < k
+        n_render = min((ke_t + ns + 7) // 8 * 8, kk)
+
     # --- upsample + merge, computed in PHASE SPACE ------------------------
     # For integer upscale factors the half-pixel bilinear upsample splits
     # into fy*fx phases, each a 4-tap lerp of shifted stride-4 maps.  All
@@ -180,7 +210,6 @@ def fuse_panoptic(cfg: ModelConfig,
     # resolution per phase — no (K, H, W) tensor is ever materialized; only
     # the final small maps are interleaved.
     precise = fusion_dtype == jnp.float32
-    hs, ws = mask_logits.shape[-2:]
     masks_small = jax.nn.sigmoid(mask_logits[cand_rows].astype(fusion_dtype))
     depth_small = depth_act(depth_logits[cand_rows].astype(fusion_dtype),
                             cfg.depth_act_mode)
@@ -188,16 +217,20 @@ def fuse_panoptic(cfg: ModelConfig,
         depth_act(depth_init_logits.astype(jnp.float32), cfg.depth_act_mode)[None],
         (h, w))[0]
 
-    phased = (h % hs == 0 and w % ws == 0 and 1 <= h // hs <= 8
-              and 1 <= w // ws <= 8)
     scores_d = scores.astype(fusion_dtype)
     row_marg = col_marg = None
-    if phased and fusion_dtype != jnp.float32 and _use_pallas_fusion():
+    if use_kernel:
         from ..ops.pallas.phase_fusion import phase_fusion
 
         fy, fx = h // hs, w // ws
         pix_arg, depth_pix, row_marg, col_marg, oarea = phase_fusion(
-            masks_small, scores, depth_small, fy, fx)
+            masks_small, scores, depth_small, fy, fx,
+            n_full=None if n_render is None else n_render)
+        if row_marg.shape[0] < kk:  # pad pruned rows back (zeros => not kept)
+            pad = ((0, kk - row_marg.shape[0]), (0, 0))
+            row_marg = jnp.pad(row_marg, pad)
+            col_marg = jnp.pad(col_marg, pad)
+            oarea = jnp.pad(oarea, (0, kk - oarea.shape[0]))
         mask_area = row_marg.sum(axis=1).astype(jnp.int32)
         orig_area = oarea.astype(jnp.int32)
         masks = None
@@ -296,6 +329,7 @@ def fuse_panoptic(cfg: ModelConfig,
         col_marg=col_marg if emit_marginals else None,
         pix_arg=pix_arg.astype(jnp.int32) if emit_marginals else None,
         depth_pix=depth_pix if defer_maps else None,
+        n_render=n_render,
     )
 
 

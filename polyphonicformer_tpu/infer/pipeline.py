@@ -155,12 +155,16 @@ def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
     ids_full = cand_track_id * thing_keep.astype(jnp.int32)
     if defer:
         # one pallas pass renders all four maps (XLA per-pixel gathers
-        # measured ~17ms each at 1024x2048 — ops/pallas/map_render.py)
+        # measured ~17ms each at 1024x2048 — ops/pallas/map_render.py).
+        # Tables truncate to the renderable rows (rows beyond n_render have
+        # keep=False by construction; sentinel pix values match nothing)
         from ..ops.pallas.map_render import render_maps
 
+        nr = kk if pano.n_render is None else pano.n_render
         semantic, panoptic, depth, track_map = render_maps(
-            pano.pix_arg, pano.depth_pix, pano.depth_basic, pano.labels,
-            pano.seg_ids, pano.keep, ids_full, cfg.num_classes)
+            pano.pix_arg, pano.depth_pix, pano.depth_basic,
+            pano.labels[:nr], pano.seg_ids[:nr], pano.keep[:nr],
+            ids_full[:nr], cfg.num_classes)
         pano = pano._replace(semantic=semantic, panoptic=panoptic,
                              depth=depth)
     else:
@@ -273,11 +277,13 @@ def batched_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
     if defer:
         from ..ops.pallas.map_render import render_maps
 
+        nr = kk if pano.n_render is None else pano.n_render
         semantic, panoptic, depth, track_map = jax.vmap(
             lambda pix, dp, db, lb, sg, kp, tr: render_maps(
                 pix, dp, db, lb, sg, kp, tr, cfg.num_classes)
-        )(pano.pix_arg, pano.depth_pix, pano.depth_basic, pano.labels,
-          pano.seg_ids, pano.keep, ids_full)
+        )(pano.pix_arg, pano.depth_pix, pano.depth_basic,
+          pano.labels[:, :nr], pano.seg_ids[:, :nr], pano.keep[:, :nr],
+          ids_full[:, :nr])
         pano = pano._replace(semantic=semantic, panoptic=panoptic,
                              depth=depth)
     else:
@@ -396,10 +402,13 @@ def make_image_step(model: PolyphonicFormer, cfg: ModelConfig, out_hw,
         if defer:
             from ..ops.pallas.map_render import render_maps
 
-            zeros = jnp.zeros_like(pano.seg_ids)
+            nr = (pano.seg_ids.shape[0] if pano.n_render is None
+                  else pano.n_render)
+            zeros = jnp.zeros((nr,), pano.seg_ids.dtype)
             semantic, panoptic, depth, _ = render_maps(
-                pano.pix_arg, pano.depth_pix, pano.depth_basic, pano.labels,
-                pano.seg_ids, pano.keep, zeros, cfg.num_classes)
+                pano.pix_arg, pano.depth_pix, pano.depth_basic,
+                pano.labels[:nr], pano.seg_ids[:nr], pano.keep[:nr],
+                zeros, cfg.num_classes)
             pano = pano._replace(semantic=semantic, panoptic=panoptic,
                                  depth=depth)
         return pano

@@ -56,7 +56,14 @@ def _col_shift(x, dx: int):
 def _kernel(score3_ref, m_prev_ref, m_cur_ref, m_next_ref,
             d_prev_ref, d_cur_ref, d_next_ref,
             pix_ref, dep_ref, rowm_ref, colm_ref, oarea_ref,
-            *, fy: int, fx: int):
+            *, fy: int, fx: int, nf: int):
+    """nf: number of FULL rows (argmax identity + marginals + depth).
+    Rows [nf, K) are prune-folded: they only contribute an exact per-pixel
+    max that, when it beats every full row, marks the pixel with the
+    sentinel index ``nf`` (rendered void downstream — identical to the
+    reference, where a below-threshold winner renders void).  Their
+    marginals/areas/depth are skipped (those rows can never pass the keep
+    gate, so nothing downstream reads them)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -70,7 +77,8 @@ def _kernel(score3_ref, m_prev_ref, m_cur_ref, m_next_ref,
     rows = {-1: m_prev_ref, 0: m_cur_ref, 1: m_next_ref}
     drows = {-1: d_prev_ref, 0: d_cur_ref, 1: d_next_ref}
     k = rows[0].shape[0]
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
+    pruned = nf < k
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (nf, 1, 1), 0)
 
     oarea = jnp.zeros_like(oarea_ref)
     taps_y = _phase_taps(fy)
@@ -80,29 +88,35 @@ def _kernel(score3_ref, m_prev_ref, m_cur_ref, m_next_ref,
         by, wy0, wy1 = taps_y[py]
         vy_m = (wy0 * rows[by][:].astype(jnp.float32)
                 + wy1 * rows[by + 1][:].astype(jnp.float32))
-        vy_d = (wy0 * drows[by][:].astype(jnp.float32)
-                + wy1 * drows[by + 1][:].astype(jnp.float32))
+        # depth is only selected for full-row winners: lerp nf rows, not K
+        vy_d = (wy0 * drows[by][0:nf].astype(jnp.float32)
+                + wy1 * drows[by + 1][0:nf].astype(jnp.float32))
         pix_cols, dep_cols = [], []
         rowm_py = jnp.zeros((rowm_ref.shape[2], rowm_ref.shape[1]),
-                            jnp.float32)  # (K, TR)
+                            jnp.float32)  # (nf, TR)
         for px in range(fx):
             bx, wx0, wx1 = taps_x[px]
             v = wx0 * _col_shift(vy_m, bx) + wx1 * _col_shift(vy_m, bx + 1)
             vd = wx0 * _col_shift(vy_d, bx) + wx1 * _col_shift(vy_d, bx + 1)
             prob = score3 * v  # (K, TR, W)
-            pa = jnp.argmax(prob, axis=0).astype(jnp.int32)  # (TR, W)
+            prob_f = prob[0:nf]
+            pa = jnp.argmax(prob_f, axis=0).astype(jnp.int32)  # (TR, W)
+            if pruned:
+                conf_f = jnp.max(prob_f, axis=0)
+                vmax = jnp.max(prob[nf:], axis=0)
+                pa = jnp.where(vmax > conf_f, jnp.int32(nf), pa)
             region = (kidx == pa[None]).astype(jnp.float32)
-            rowm_py = rowm_py + region.sum(axis=2)  # (K, TR)
+            rowm_py = rowm_py + region.sum(axis=2)  # (nf, TR)
             # accumulate straight into VMEM: keeping fx (K, W) accumulators
             # live across the whole phase loop spilled ~70MB of vregs
-            colm_ref[px] = colm_ref[px] + region.sum(axis=1)  # (K, W)
-            oarea = oarea + (v >= 0.5).astype(jnp.float32).sum(axis=1)
+            colm_ref[px] = colm_ref[px] + region.sum(axis=1)  # (nf, W)
+            oarea = oarea + (v[0:nf] >= 0.5).astype(jnp.float32).sum(axis=1)
             pix_cols.append(pa)
             dep_cols.append((region * vd).sum(axis=0))
         # assemble interleaved layout VMEM-locally: (TR, W, fx)
         pix_rows.append(jnp.stack(pix_cols, axis=-1))
         dep_rows.append(jnp.stack(dep_cols, axis=-1))
-        rowm_ref[py] = rowm_py.T  # (fy, TR, K) layout: K rides the lanes
+        rowm_ref[py] = rowm_py.T  # (fy, TR, nf) layout: K rides the lanes
     # (TR, fy, W, fx): row-major-reshapes to the full-res raster outside
     pix_ref[:] = jnp.stack(pix_rows, axis=1)
     dep_ref[:] = jnp.stack(dep_rows, axis=1)
@@ -110,12 +124,19 @@ def _kernel(score3_ref, m_prev_ref, m_cur_ref, m_next_ref,
 
 
 def phase_fusion(probs: jax.Array, scores: jax.Array, depth: jax.Array,
-                 fy: int = 4, fx: int = 4, interpret: bool = False
+                 fy: int = 4, fx: int = 4, interpret: bool = False,
+                 n_full: int | None = None
                  ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """probs/depth: (K, hs, ws) stride-4 candidate maps (probabilities /
-    metric depth); scores: (K,).  Returns per-phase maps + areas."""
+    metric depth); scores: (K,).  Returns per-phase maps + areas.
+
+    n_full: rows [0, n_full) get full treatment; rows beyond are
+    prune-folded into an exact max channel whose wins mark the pixel with
+    the sentinel index (= padded n_full) — see _kernel.  Marginals/areas
+    are returned for the full rows only ((min(nf, K), ...) shapes)."""
     kk, hs, ws = probs.shape
     kpad = (kk + 7) // 8 * 8
+    nf = kpad if n_full is None else min((n_full + 7) // 8 * 8, kpad)
     tr = 8
     while hs % tr:
         tr //= 2
@@ -142,15 +163,15 @@ def phase_fusion(probs: jax.Array, scores: jax.Array, depth: jax.Array,
     # (hs*fy, ws*fx) raster — no post-hoc interleave relayout needed
     out_map_spec = pl.BlockSpec((tr, fy, ws, fx), lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
-    rowm_spec = pl.BlockSpec((fy, tr, kpad), lambda i: (0, i, 0),
+    rowm_spec = pl.BlockSpec((fy, tr, nf), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
-    colm_spec = pl.BlockSpec((fx, kpad, ws), lambda i: (0, 0, 0),
+    colm_spec = pl.BlockSpec((fx, nf, ws), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
-    acc_spec = pl.BlockSpec((kpad, ws), lambda i: (0, 0),
+    acc_spec = pl.BlockSpec((nf, ws), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
     pix, dep, rowm, colm, oarea = pl.pallas_call(
-        functools.partial(_kernel, fy=fy, fx=fx),
+        functools.partial(_kernel, fy=fy, fx=fx, nf=nf),
         grid=grid,
         in_specs=[
             pl.BlockSpec((kpad, 1, ws), lambda i: (0, 0, 0),
@@ -161,9 +182,9 @@ def phase_fusion(probs: jax.Array, scores: jax.Array, depth: jax.Array,
         out_shape=(
             jax.ShapeDtypeStruct((hs, fy, ws, fx), jnp.int32),
             jax.ShapeDtypeStruct((hs, fy, ws, fx), jnp.float32),
-            jax.ShapeDtypeStruct((fy, hs, kpad), jnp.float32),
-            jax.ShapeDtypeStruct((fx, kpad, ws), jnp.float32),
-            jax.ShapeDtypeStruct((kpad, ws), jnp.float32),
+            jax.ShapeDtypeStruct((fy, hs, nf), jnp.float32),
+            jax.ShapeDtypeStruct((fx, nf, ws), jnp.float32),
+            jax.ShapeDtypeStruct((nf, ws), jnp.float32),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -171,7 +192,8 @@ def phase_fusion(probs: jax.Array, scores: jax.Array, depth: jax.Array,
     )(score3, m_prev, m_cur, m_next, d_prev, d_cur, d_next)
     pix = pix.reshape(hs * fy, ws * fx)
     dep = dep.reshape(hs * fy, ws * fx)
-    # (fy, hs, K) -> (K, hs, fy) -> (K, H): full-res row r = ys*fy + py
-    row_marg = rowm[..., :kk].transpose(2, 1, 0).reshape(kk, hs * fy)
-    col_marg = colm[:, :kk].transpose(1, 2, 0).reshape(kk, ws * fx)
-    return pix, dep, row_marg, col_marg, oarea[:kk].sum(axis=1)
+    kf = min(nf, kk)
+    # (fy, hs, nf) -> (nf, hs, fy) -> (nf, H): full-res row r = ys*fy + py
+    row_marg = rowm[..., :kf].transpose(2, 1, 0).reshape(kf, hs * fy)
+    col_marg = colm[:, :kf].transpose(1, 2, 0).reshape(kf, ws * fx)
+    return pix, dep, row_marg, col_marg, oarea[:kf].sum(axis=1)
