@@ -75,7 +75,7 @@ def main() -> None:
     dt = sorted(times)[len(times) // 2]
     fps = t_clip / dt
 
-    print(json.dumps({
+    record = {
         "metric": "video_frame_inference_fps_1024x2048_r50",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
@@ -84,7 +84,23 @@ def main() -> None:
         # fps; this env has no CUDA to measure it) — see module docstring.
         "baseline_kind": "estimate",
         "baseline_fps": REFERENCE_FPS_ESTIMATE,
-    }))
+    }
+    # measured same-host CPU proxy ratio (tools_dev/bench_cpu_proxy.py):
+    # reference torch simple_test vs our image step, single thread — anchors
+    # the estimate with a measured software-stack speedup
+    try:
+        with open("/root/repo/tools_dev/cpu_proxy.json") as f:
+            proxy = json.load(f)
+        record["baseline_kind_secondary"] = "measured-cpu-proxy"
+        record["cpu_proxy_ratio"] = round(proxy["ratio"], 3)
+        record["cpu_proxy_detail"] = {
+            "torch_cpu_s": round(proxy["torch_cpu_s"], 3),
+            "jax_cpu_s": round(proxy["jax_cpu_s"], 3),
+            "hw": [proxy["h"], proxy["w"]],
+        }
+    except Exception:
+        pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -40,6 +40,17 @@ def _upsample2(x: jax.Array) -> jax.Array:
     return resize_bilinear(x, (x.shape[-2] * 2, x.shape[-1] * 2))
 
 
+def _skip_groups() -> frozenset:
+    """Dev-only attribution knob (tools_dev/bench_train.py): loss groups
+    named in POLY_LOSS_SKIP (comma-separated: mask,dice,rank,seg,depth,cls,
+    track) are omitted from the graph entirely so XLA dead-codes their
+    cost.  Empty (the default) in production and tests."""
+    import os
+
+    v = os.environ.get("POLY_LOSS_SKIP", "")
+    return frozenset(x for x in v.split(",") if x)
+
+
 def _mask_dice_rank_losses(cfg: ModelConfig, mask_logits: jax.Array,
                            targets: StageTargets, gt: GTSample,
                            num_rows: int, prefix: str,
@@ -48,26 +59,30 @@ def _mask_dice_rank_losses(cfg: ModelConfig, mask_logits: jax.Array,
 
     mask_logits: (B, Q', h, w) where Q' == num_rows.
     """
+    skip = _skip_groups()
     pos = targets.pos_row[:, :num_rows].astype(jnp.float32)  # (B, Q')
     tgt = targets.mask_targets[:, :num_rows]
     valid = gt.valid_mask  # (B, h, w)
     elem_w = pos[:, :, None, None] * valid[:, None, :, :]
 
-    bce = binary_cross_entropy_with_logits(mask_logits.astype(jnp.float32), tgt)
-    denom = jnp.maximum((elem_w > 0).astype(jnp.float32).sum(), 1.0)
-    losses[f"{prefix}_mask"] = cfg.loss_mask_weight * (bce * elem_w).sum() / denom
+    if "mask" not in skip:
+        bce = binary_cross_entropy_with_logits(mask_logits.astype(jnp.float32), tgt)
+        denom = jnp.maximum((elem_w > 0).astype(jnp.float32).sum(), 1.0)
+        losses[f"{prefix}_mask"] = cfg.loss_mask_weight * (bce * elem_w).sum() / denom
 
-    dice = dice_loss_per_row(
-        mask_logits.reshape(-1, *mask_logits.shape[2:]),
-        tgt.reshape(-1, *tgt.shape[2:]),
-        jnp.broadcast_to(valid[:, None], tgt.shape).reshape(-1, *tgt.shape[2:]),
-    ).reshape(pos.shape)
-    num_pos = jnp.maximum(pos.sum(), 1.0)
-    losses[f"{prefix}_dice"] = cfg.loss_dice_weight * (dice * pos).sum() / num_pos
+    if "dice" not in skip:
+        dice = dice_loss_per_row(
+            mask_logits.reshape(-1, *mask_logits.shape[2:]),
+            tgt.reshape(-1, *tgt.shape[2:]),
+            jnp.broadcast_to(valid[:, None], tgt.shape).reshape(-1, *tgt.shape[2:]),
+        ).reshape(pos.shape)
+        num_pos = jnp.maximum(pos.sum(), 1.0)
+        losses[f"{prefix}_dice"] = cfg.loss_dice_weight * (dice * pos).sum() / num_pos
 
-    rank_logits = jnp.moveaxis(mask_logits, 1, -1)  # (B, h, w, Q')
-    losses[f"{prefix}_rank"] = cfg.loss_rank_weight * softmax_ce_ignore(
-        rank_logits, targets.rank_target, cfg.ignore_label)
+    if "rank" not in skip:
+        rank_logits = jnp.moveaxis(mask_logits, 1, -1)  # (B, h, w, Q')
+        losses[f"{prefix}_rank"] = cfg.loss_rank_weight * softmax_ce_ignore(
+            rank_logits, targets.rank_target, cfg.ignore_label)
 
 
 def _depth_stage_loss(cfg: ModelConfig, depth_logits: jax.Array,
@@ -147,27 +162,30 @@ def compute_losses(cfg: ModelConfig, out: ModelOutput, gt: GTSample
     _mask_dice_rank_losses(cfg, scaled_rpn_masks, rpn_targets, gt, np_,
                            "loss_rpn", losses)
 
-    # dense semantic focal loss (kernel_head.py:541-553)
-    seg_target = jax.vmap(lambda a, g: build_seg_target(a, g, nt, nc))(rpn_assign, gt)
-    seg_logits = jnp.moveaxis(scaled_seg, 1, -1)  # (B, h, w, 19)
-    onehot = jax.nn.one_hot(seg_target, nc + 1, dtype=jnp.float32)[..., :nc]
-    seg_valid = (seg_target != nc).astype(jnp.float32)
-    focal = sigmoid_focal_loss_elements(seg_logits.astype(jnp.float32), onehot,
-                                        cfg.focal_gamma, cfg.focal_alpha)
-    num_dense_pos = jnp.maximum(seg_valid.sum(), 1.0)
-    losses["loss_rpn_seg"] = cfg.loss_seg_weight * (
-        focal * seg_valid[..., None]).sum() / num_dense_pos
+    skip = _skip_groups()
+    if "seg" not in skip:
+        # dense semantic focal loss (kernel_head.py:541-553)
+        seg_target = jax.vmap(lambda a, g: build_seg_target(a, g, nt, nc))(rpn_assign, gt)
+        seg_logits = jnp.moveaxis(scaled_seg, 1, -1)  # (B, h, w, 19)
+        onehot = jax.nn.one_hot(seg_target, nc + 1, dtype=jnp.float32)[..., :nc]
+        seg_valid = (seg_target != nc).astype(jnp.float32)
+        focal = sigmoid_focal_loss_elements(seg_logits.astype(jnp.float32), onehot,
+                                            cfg.focal_gamma, cfg.focal_alpha)
+        num_dense_pos = jnp.maximum(seg_valid.sum(), 1.0)
+        losses["loss_rpn_seg"] = cfg.loss_seg_weight * (
+            focal * seg_valid[..., None]).sum() / num_dense_pos
 
-    # masked depth over 111 rows of (identical) dense depth (kernel_head.py:478-486)
-    rpn_depth_logits = jnp.broadcast_to(
-        scaled_depth0[:, None], (b, nq) + scaled_depth0.shape[1:])
-    losses["loss_rpn_depth"] = _depth_stage_loss(
-        cfg, rpn_depth_logits, rpn_targets, gt, cfg.rpn_depth_loss)
-    # dense depth (kernel_head.py:438-442)
-    losses["loss_rpn_depth_dense"] = depth_loss(
-        scaled_depth0, gt.depth, (gt.depth > 0).astype(jnp.float32),
-        loss_weight=cfg.rpn_depth_loss.loss_weight,
-        depth_act_mode=cfg.rpn_depth_loss.depth_act_mode)
+    if "depth" not in skip:
+        # masked depth over 111 rows of (identical) dense depth (kernel_head.py:478-486)
+        rpn_depth_logits = jnp.broadcast_to(
+            scaled_depth0[:, None], (b, nq) + scaled_depth0.shape[1:])
+        losses["loss_rpn_depth"] = _depth_stage_loss(
+            cfg, rpn_depth_logits, rpn_targets, gt, cfg.rpn_depth_loss)
+        # dense depth (kernel_head.py:438-442)
+        losses["loss_rpn_depth_dense"] = depth_loss(
+            scaled_depth0, gt.depth, (gt.depth > 0).astype(jnp.float32),
+            loss_weight=cfg.rpn_depth_loss.loss_weight,
+            depth_act_mode=cfg.rpn_depth_loss.depth_act_mode)
 
     # ---- refinement stages ----------------------------------------------
     # stage s is (re-)assigned on stage s-1's detached predictions
@@ -186,11 +204,14 @@ def compute_losses(cfg: ModelConfig, out: ModelOutput, gt: GTSample
         p = f"s{stage}_loss"
         # cls focal with per-class label weights and num_pos normalization
         num_pos = jnp.maximum(targets.pos_row.astype(jnp.float32).sum() / b, 1.0)
-        onehot = jax.nn.one_hot(targets.labels, nc + 1, dtype=jnp.float32)[..., :nc]
-        focal = sigmoid_focal_loss_elements(so.cls_score.astype(jnp.float32),
-                                            onehot, cfg.focal_gamma, cfg.focal_alpha)
-        losses[f"{p}_cls"] = cfg.loss_cls_weight * (
-            focal * targets.label_weights).sum() / (num_pos * b)
+        if "cls" not in skip:
+            onehot = jax.nn.one_hot(targets.labels, nc + 1,
+                                    dtype=jnp.float32)[..., :nc]
+            focal = sigmoid_focal_loss_elements(
+                so.cls_score.astype(jnp.float32), onehot, cfg.focal_gamma,
+                cfg.focal_alpha)
+            losses[f"{p}_cls"] = cfg.loss_cls_weight * (
+                focal * targets.label_weights).sum() / (num_pos * b)
         # pos_acc metric: top-1 accuracy on positive queries (reference
         # kernel_update_head.py:400-401; metric only — excluded from total
         # by the "_acc" suffix convention below)
@@ -201,8 +222,9 @@ def compute_losses(cfg: ModelConfig, out: ModelOutput, gt: GTSample
             pos.sum(), 1.0)
 
         _mask_dice_rank_losses(cfg, scaled_mask, targets, gt, nq, p, losses)
-        losses[f"{p}_depth"] = _depth_stage_loss(cfg, scaled_dep, targets, gt,
-                                                 cfg.rcnn_depth_loss)
+        if "depth" not in skip:
+            losses[f"{p}_depth"] = _depth_stage_loss(
+                cfg, scaled_dep, targets, gt, cfg.rcnn_depth_loss)
 
     total = jnp.sum(jnp.stack([v for k, v in losses.items()
                                if not k.endswith("_acc")]))

@@ -94,16 +94,19 @@ def video_forward_losses(model: PolyphonicFormer, variables, cfg: ModelConfig,
         jax.lax.stop_gradient,
         apply(PolyphonicFormer.extract_feat, batch.ref_image))
 
-    # track embeddings from GT masks
-    key_masks = gt_track_masks(batch.gt, pad_hw)
-    ref_masks = gt_track_masks(batch.ref_gt, pad_hw)
-    key_embeds = apply(PolyphonicFormer.forward_track_embeds, key_feats,
-                       key_masks, batch.gt.thing_valid)
-    ref_embeds = apply(PolyphonicFormer.forward_track_embeds, ref_feats,
-                       ref_masks, batch.ref_gt.thing_valid)
+    from .losses import _skip_groups
 
-    track_losses = track_pair_losses(cfg, key_embeds, ref_embeds,
-                                     batch.gt, batch.ref_gt)
-    losses.update(track_losses)
-    total = total + sum(track_losses.values())
+    if "track" not in _skip_groups():
+        # track embeddings from GT masks
+        key_masks = gt_track_masks(batch.gt, pad_hw)
+        ref_masks = gt_track_masks(batch.ref_gt, pad_hw)
+        key_embeds = apply(PolyphonicFormer.forward_track_embeds, key_feats,
+                           key_masks, batch.gt.thing_valid)
+        ref_embeds = apply(PolyphonicFormer.forward_track_embeds, ref_feats,
+                           ref_masks, batch.ref_gt.thing_valid)
+
+        track_losses = track_pair_losses(cfg, key_embeds, ref_embeds,
+                                         batch.gt, batch.ref_gt)
+        losses.update(track_losses)
+        total = total + sum(track_losses.values())
     return total, losses

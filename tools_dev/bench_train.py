@@ -129,6 +129,21 @@ def main():
     print(f"no-assign step {t_na * 1000:8.1f} ms (solver share "
           f"{(t_full - t_na) * 1000:+.1f})")
 
+    # per-loss-group attribution: POLY_LOSS_SKIP removes a group from the
+    # graph so XLA dead-codes its fwd+bwd cost
+    import os
+
+    for skip in ("depth", "rank", "mask,dice", "seg,cls", "track"):
+        os.environ["POLY_LOSS_SKIP"] = skip
+        try:
+            step_v = make_train_step(model, mc, tx, video=True, donate=False)
+            t_v = timed(lambda s, b: step_v(s, b)[1]["total_loss"],
+                        state, batch)
+        finally:
+            os.environ.pop("POLY_LOSS_SKIP", None)
+        print(f"skip {skip:10s} {t_v * 1000:8.1f} ms (group cost "
+              f"{(t_full - t_v) * 1000:+.1f})")
+
 
 if __name__ == "__main__":
     main()
