@@ -144,6 +144,45 @@ def main():
         print(f"skip {skip:10s} {t_v * 1000:8.1f} ms (group cost "
               f"{(t_full - t_v) * 1000:+.1f})")
 
+    # loss FORWARD alone (no grad): separates loss-fwd cost from loss-bwd
+    from polyphonicformer_tpu.train.video_losses import video_forward_losses
+
+    def loss_fwd(params, consts, b):
+        params, consts = cast(params), cast(consts)
+        b = b.replace(image=b.image.astype(half),
+                      ref_image=b.ref_image.astype(half))
+        variables = {"params": params, **consts}
+        return video_forward_losses(model, variables, mc, b)[0]
+
+    t_lf = timed(jax.jit(loss_fwd), state.params, state.consts, batch)
+    print(f"loss fwd only  {t_lf * 1000:8.1f} ms (no grad)")
+
+    # upsample-only grad: value_and_grad of the sum of all x2-upsampled
+    # prediction tensors (no targets/assignment/loss math)
+    from polyphonicformer_tpu.train.losses import _upsample2
+
+    def loss_ups(params, consts, b):
+        params, consts = cast(params), cast(consts)
+        variables = {"params": params, **consts}
+        out = model.apply(variables, b.image.astype(half))
+        tot = _upsample2(out.rpn.mask_preds_things).astype(jnp.float32).sum()
+        tot += _upsample2(jnp.moveaxis(out.rpn.seg_preds, -1, 1)) \
+            .astype(jnp.float32).sum()
+        tot += _upsample2(out.rpn.depth_pred[:, None]).astype(jnp.float32).sum()
+        tot += _upsample2(out.rpn.mask_preds).astype(jnp.float32).sum()
+        for so in out.stages:
+            tot += _upsample2(so.mask_preds).astype(jnp.float32).sum()
+            tot += _upsample2(so.depth_preds).astype(jnp.float32).sum()
+        return tot
+
+    @jax.jit
+    def step_ups(state, b):
+        return jax.value_and_grad(loss_ups)(state.params, state.consts, b)[0]
+
+    t_u = timed(step_ups, state, batch)
+    print(f"key+upsample   {t_u * 1000:8.1f} ms (upsample share vs key "
+          f"{(t_u - t_key) * 1000:+.1f})")
+
 
 if __name__ == "__main__":
     main()
