@@ -32,6 +32,10 @@ class AssignerConfig:
     depth_weight: float = 0.0
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25
+    # >1 matches each GT to its best `topk` prediction rows (successive
+    # Hungarian rounds, matched rows masked out between rounds) —
+    # reference: funcs/assigner.py:330-344.  Shipped configs use 1.
+    topk: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -125,11 +125,30 @@ def assignment_cost(cfg: AssignerConfig,
 
 
 def solve_assignment(cost: jax.Array, gt_valid: jax.Array,
-                     num_preds: int) -> AssignResult:
-    """cost: (P, M) pairwise cost; gt_valid: (M,)."""
-    gt2pred = match_gt_to_preds(cost.T, gt_valid)
-    pred2gt = gt2pred_to_assignment(gt2pred, num_preds)
-    return AssignResult(pred2gt=pred2gt, gt2pred=gt2pred)
+                     num_preds: int, topk: int = 1) -> AssignResult:
+    """cost: (P, M) pairwise cost; gt_valid: (M,).
+
+    topk > 1 reproduces the reference's multi-round matching
+    (funcs/assigner.py:330-344): after each Hungarian round the matched
+    prediction ROWS are masked to 1e10 and the solve repeats, so each GT
+    collects its ``topk`` best distinct prediction rows.  ``pred2gt`` merges
+    all rounds (rounds are disjoint in pred rows); ``gt2pred`` is stacked
+    (topk, M) when topk > 1, round 0 first (the best match).
+    """
+    if topk <= 1:
+        gt2pred = match_gt_to_preds(cost.T, gt_valid)
+        pred2gt = gt2pred_to_assignment(gt2pred, num_preds)
+        return AssignResult(pred2gt=pred2gt, gt2pred=gt2pred)
+    work = cost.astype(jnp.float32)
+    g2p_rounds = []
+    pred2gt = jnp.full((num_preds,), -1, jnp.int32)
+    for _ in range(topk):
+        g2p = match_gt_to_preds(work.T, gt_valid)
+        p2g = gt2pred_to_assignment(g2p, num_preds)
+        pred2gt = jnp.where(pred2gt < 0, p2g, pred2gt)
+        g2p_rounds.append(g2p)
+        work = jnp.where((p2g >= 0)[:, None], 1e10, work)
+    return AssignResult(pred2gt=pred2gt, gt2pred=jnp.stack(g2p_rounds))
 
 
 def assign_masks(cfg: AssignerConfig,
@@ -146,4 +165,5 @@ def assign_masks(cfg: AssignerConfig,
     """
     cost = assignment_cost(cfg, mask_logits, cls_logits, gt,
                            use_valid_pixels, depth_logits, depth_act_mode)
-    return solve_assignment(cost, gt.thing_valid, mask_logits.shape[0])
+    return solve_assignment(cost, gt.thing_valid, mask_logits.shape[0],
+                            topk=cfg.topk)

@@ -63,26 +63,43 @@ def _mask_dice_rank_losses(cfg: ModelConfig, mask_logits: jax.Array,
     pos = targets.pos_row[:, :num_rows].astype(jnp.float32)  # (B, Q')
     tgt = targets.mask_targets[:, :num_rows]
     valid = gt.valid_mask  # (B, h, w)
-    elem_w = pos[:, :, None, None] * valid[:, None, :, :]
+
+    # All reductions below are expressed as einsum contractions with the
+    # row/pixel weights as separate operands — mathematically identical to
+    # the materialize-then-reduce forms but without the (B, Q, h, w)
+    # intermediates that made the loss side dominate the train step
+    # (tools_dev/bench_train.py attribution).
+    m32 = mask_logits.astype(jnp.float32)
 
     if "mask" not in skip:
-        bce = binary_cross_entropy_with_logits(mask_logits.astype(jnp.float32), tgt)
-        denom = jnp.maximum((elem_w > 0).astype(jnp.float32).sum(), 1.0)
-        losses[f"{prefix}_mask"] = cfg.loss_mask_weight * (bce * elem_w).sum() / denom
+        bce = binary_cross_entropy_with_logits(m32, tgt)
+        # (elem_w > 0) == pos_row & valid, which is separable
+        denom = jnp.maximum(
+            jnp.einsum("bq,b->", pos, valid.sum(axis=(1, 2))), 1.0)
+        losses[f"{prefix}_mask"] = cfg.loss_mask_weight * jnp.einsum(
+            "bqhw,bq,bhw->", bce, pos, valid) / denom
 
     if "dice" not in skip:
-        dice = dice_loss_per_row(
-            mask_logits.reshape(-1, *mask_logits.shape[2:]),
-            tgt.reshape(-1, *tgt.shape[2:]),
-            jnp.broadcast_to(valid[:, None], tgt.shape).reshape(-1, *tgt.shape[2:]),
-        ).reshape(pos.shape)
+        # dice over valid pixels: valid is 0/1 so (p*m)^2 == p^2*m etc.
+        p = jax.nn.sigmoid(m32)
+        a = jnp.einsum("bqhw,bqhw,bhw->bq", p, tgt, valid)
+        bb = jnp.einsum("bqhw,bqhw,bhw->bq", p, p, valid) + 1e-3
+        cc = jnp.einsum("bqhw,bqhw,bhw->bq", tgt, tgt, valid) + 1e-3
+        dice = 1.0 - 2.0 * a / (bb + cc)
         num_pos = jnp.maximum(pos.sum(), 1.0)
         losses[f"{prefix}_dice"] = cfg.loss_dice_weight * (dice * pos).sum() / num_pos
 
     if "rank" not in skip:
-        rank_logits = jnp.moveaxis(mask_logits, 1, -1)  # (B, h, w, Q')
-        losses[f"{prefix}_rank"] = cfg.loss_rank_weight * softmax_ce_ignore(
-            rank_logits, targets.rank_target, cfg.ignore_label)
+        # softmax CE over the QUERY axis (axis 1) without transposing the
+        # (B, Q, h, w) volume to channels-last
+        labels = targets.rank_target  # (B, h, w)
+        c = num_rows
+        rvalid = (labels != cfg.ignore_label) & (labels >= 0) & (labels < c)
+        safe = jnp.where(rvalid, labels, 0)
+        logp = jax.nn.log_softmax(m32, axis=1)
+        nll = -jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
+        losses[f"{prefix}_rank"] = cfg.loss_rank_weight * jnp.where(
+            rvalid, nll, 0.0).mean()
 
 
 def _depth_stage_loss(cfg: ModelConfig, depth_logits: jax.Array,
@@ -140,16 +157,25 @@ def compute_losses(cfg: ModelConfig, out: ModelOutput, gt: GTSample
         stage_prev_cls = jax.lax.stop_gradient(so.cls_score)
 
     ns = len(cost_list)  # 1 + num_stages
-    costs = jnp.stack(cost_list, axis=0)  # (ns, B, P, M)
-    flat_costs = costs.reshape((ns * b,) + costs.shape[2:])
-    flat_valid = jnp.tile(gt.thing_valid, (ns, 1))
-    flat_assign = jax.vmap(
-        lambda c, v: solve_assignment(c, v, c.shape[0]))(flat_costs, flat_valid)
-    per_problem = jax.tree_util.tree_map(
-        lambda a: a.reshape((ns, b) + a.shape[1:]), flat_assign)
-    assigns = [AssignResult(pred2gt=per_problem.pred2gt[i],
-                            gt2pred=per_problem.gt2pred[i])
-               for i in range(ns)]
+    tk_rpn, tk_rcnn = cfg.rpn_assigner.topk, cfg.rcnn_assigner.topk
+    if tk_rpn == tk_rcnn:
+        groups = [(cost_list, tk_rpn)]
+    else:  # mixed topk: two lockstep groups (rpn | rcnn stages)
+        groups = [(cost_list[:1], tk_rpn), (cost_list[1:], tk_rcnn)]
+    assigns = []
+    for group, topk in groups:
+        costs = jnp.stack(group, axis=0)  # (ng, B, P, M)
+        ng = costs.shape[0]
+        flat_costs = costs.reshape((ng * b,) + costs.shape[2:])
+        flat_valid = jnp.tile(gt.thing_valid, (ng, 1))
+        flat_assign = jax.vmap(
+            lambda c, v: solve_assignment(c, v, c.shape[0], topk=topk)
+        )(flat_costs, flat_valid)
+        per_problem = jax.tree_util.tree_map(
+            lambda a: a.reshape((ng, b) + a.shape[1:]), flat_assign)
+        assigns += [AssignResult(pred2gt=per_problem.pred2gt[i],
+                                 gt2pred=per_problem.gt2pred[i])
+                    for i in range(ng)]
 
     rpn_assign = assigns[0]
 

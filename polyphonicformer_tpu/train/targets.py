@@ -36,15 +36,26 @@ class StageTargets(NamedTuple):
     depth_has_target: jax.Array  # (Q,) float — rows whose target is gt_depth
 
 
+def _gt2pred_rounds(assign: AssignResult) -> jax.Array:
+    """Normalize gt2pred to (R, M): R matching rounds (R > 1 iff the
+    assigner ran with topk > 1 — see train/assign.py::solve_assignment)."""
+    g2p = assign.gt2pred
+    return g2p if g2p.ndim == 2 else g2p[None]
+
+
 def _scatter_thing_rows(values: jax.Array, assign: AssignResult,
                         gt: GTSample, num_rows: int) -> jax.Array:
-    """Scatter per-GT values (M, ...) into prediction rows (num_rows, ...)."""
+    """Scatter per-GT values (M, ...) into prediction rows (num_rows, ...).
+
+    With topk > 1 each GT's values land in every round's matched row
+    (rounds are disjoint in pred rows)."""
     m = values.shape[0]
-    ok = gt.thing_valid & (assign.gt2pred >= 0)
-    idx = jnp.where(ok, assign.gt2pred, num_rows)  # overflow row for invalid
     out = jnp.zeros((num_rows + 1,) + values.shape[1:], values.dtype)
-    out = out.at[idx].set(jnp.where(
-        ok.reshape((m,) + (1,) * (values.ndim - 1)), values, 0))
+    for g2p in _gt2pred_rounds(assign):
+        ok = gt.thing_valid & (g2p >= 0)
+        idx = jnp.where(ok, g2p, num_rows)  # overflow row for invalid
+        out = out.at[idx].set(jnp.where(
+            ok.reshape((m,) + (1,) * (values.ndim - 1)), values, 0))
     return out[:num_rows]
 
 
@@ -63,13 +74,16 @@ def build_stage_targets(assign: AssignResult, gt: GTSample,
     num_stuff = num_classes - num_things
     q = num_proposals + num_stuff
     m = gt.thing_masks.shape[0]
-    matched = gt.thing_valid & (assign.gt2pred >= 0)
+    rounds = _gt2pred_rounds(assign)  # (R, M)
 
     # labels ---------------------------------------------------------------
-    labels = jnp.full((q,), num_classes, jnp.int32)
-    idx = jnp.where(matched, assign.gt2pred, q)
-    labels = jnp.concatenate([labels, jnp.zeros((1,), jnp.int32)])
-    labels = labels.at[idx].set(jnp.where(matched, gt.thing_labels, num_classes))
+    labels = jnp.concatenate([jnp.full((q,), num_classes, jnp.int32),
+                              jnp.zeros((1,), jnp.int32)])
+    for g2p in rounds:
+        matched_r = gt.thing_valid & (g2p >= 0)
+        idx = jnp.where(matched_r, g2p, q)
+        labels = labels.at[idx].set(
+            jnp.where(matched_r, gt.thing_labels, num_classes))
     labels = labels[:q]
     stuff_labels = jnp.where(gt.stuff_valid,
                              jnp.arange(num_stuff) + num_things, num_classes)
@@ -91,9 +105,11 @@ def build_stage_targets(assign: AssignResult, gt: GTSample,
     pos_row = (labels >= 0) & (labels < num_classes)
 
     # rank target: last (highest-index) pos row covering each pixel ----------
-    cand_thing = jnp.where((gt.thing_masks > 0) & matched[:, None, None],
-                           assign.gt2pred[:, None, None], -1)
-    rank = cand_thing.max(axis=0) if m > 0 else jnp.full(gt.depth.shape, -1)
+    matched = gt.thing_valid[None] & (rounds >= 0)  # (R, M)
+    cand_thing = jnp.where((gt.thing_masks[None] > 0) & matched[:, :, None, None],
+                           rounds[:, :, None, None], -1)
+    rank = (cand_thing.max(axis=(0, 1)) if m > 0
+            else jnp.full(gt.depth.shape, -1))
     if stuff_in_rank:
         cand_stuff = jnp.where(
             (gt.stuff_masks > 0) & gt.stuff_valid[:, None, None],
@@ -127,10 +143,13 @@ def build_seg_target(assign: AssignResult, gt: GTSample, num_things: int,
     stuff classes written in ascending class order, then pos things written
     in ascending matched-row order — i.e. argmax-by-index semantics."""
     num_stuff = num_classes - num_things
-    matched = gt.thing_valid & (assign.gt2pred >= 0)
-    score_thing = jnp.where((gt.thing_masks > 0) & matched[:, None, None],
-                            assign.gt2pred[:, None, None], -1)
-    best = jnp.argmax(score_thing, axis=0)
+    m = gt.thing_masks.shape[0]
+    rounds = _gt2pred_rounds(assign)  # (R, M)
+    matched = gt.thing_valid[None] & (rounds >= 0)
+    score_thing = jnp.where(
+        (gt.thing_masks[None] > 0) & matched[:, :, None, None],
+        rounds[:, :, None, None], -1).reshape((-1,) + gt.depth.shape)
+    best = jnp.argmax(score_thing, axis=0) % m
     has_thing = score_thing.max(axis=0) >= 0
     thing_label = gt.thing_labels[best]
     cand_stuff = jnp.where(
