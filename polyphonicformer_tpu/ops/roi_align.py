@@ -16,10 +16,12 @@ boxes (/root/reference/polyphonic/video/utils.py:39-82).
 """
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _bilinear_sample(feat: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
@@ -223,3 +225,56 @@ def boxes_mad_from_marginals(rowcount: jax.Array, colcount: jax.Array,
     boxes = jnp.stack([x1, y1, x2, y2], axis=1)
     boxes = jnp.where(area[:, None] > 0, boxes, 0.0)
     return jnp.maximum(boxes, 0.0)
+
+
+@functools.lru_cache(maxsize=16)
+def _support_tables(in_size: int, out_size: int):
+    """Constant tables for exact binarized-upsample marginal counts.
+
+    From the align_corners=False bilinear matrix A (out, in) — <= 2 positive
+    taps per output row, always adjacent (a, a+1) or a single clamped tap:
+      S    (out, in): tap-indicator A > 0
+      T    (out, in-1): rows whose tap pair is exactly {a, a+1}
+      n1   (in,): number of output rows touching tap a      = S.sum(0)
+      n2   (in-1,): number of output rows with pair {a,a+1} = T.sum(0)
+    """
+    from .resize import _bilinear_matrix
+
+    a = _bilinear_matrix(in_size, out_size) > 0  # (out, in)
+    s = a.astype(np.float32)
+    t = (a[:, :-1] & a[:, 1:]).astype(np.float32)  # (out, in-1)
+    return s, t, s.sum(0), t.sum(0)
+
+
+def upsampled_support_marginals(masks: jax.Array, out_hw: tuple[int, int]
+                                ) -> tuple[jax.Array, jax.Array]:
+    """Exact (rowcount, colcount) marginals of the BINARIZED bilinear
+    upsample ``resize_bilinear(masks, out_hw) > 0`` without materializing
+    the upsampled (M, H, W) volume.
+
+    Support of the upsample is separable per output pixel: up(jy, jx) > 0
+    iff any of the <= 2x2 positive-weight taps hits a nonzero source pixel.
+    With d = y-dilated support (S_h-OR over rows) the counts reduce by
+    per-pixel inclusion-exclusion (OR = a + b - ab, taps always adjacent) to
+    small contractions; replaces the reference-semantics full-res GT mask
+    materialization in the track-embedding path
+    (/root/reference/polyphonic/polyphonic_former_video.py:283-291 +
+    video/utils.py:39-82) with bit-identical box statistics.
+
+    masks: (M, h, w); returns rowcount (M, H), colcount (M, W), float32.
+    """
+    m, h, w = masks.shape
+    out_h, out_w = out_hw
+    s_h, _, _, _ = _support_tables(h, out_h)
+    s_w, t_w, n1, n2 = _support_tables(w, out_w)
+    mb = (masks > 0).astype(jnp.float32)
+    # y-dilated support: (M, H, w); counts <= 2 so thresholding is exact
+    d = (jnp.einsum("Oh,mhw->mOw", jnp.asarray(s_h), mb) > 0
+         ).astype(jnp.float32)
+    dpair = d[:, :, :-1] * d[:, :, 1:]  # (M, H, w-1) adjacent AND
+    rowcount = d @ jnp.asarray(n1) - dpair @ jnp.asarray(n2)  # (M, H)
+    cnt = d.sum(axis=1)  # (M, w)
+    pair_cnt = dpair.sum(axis=1)  # (M, w-1)
+    colcount = (cnt @ jnp.asarray(s_w).T
+                - pair_cnt @ jnp.asarray(t_w).T)  # (M, W)
+    return rowcount, colcount

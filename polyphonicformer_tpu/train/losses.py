@@ -91,7 +91,10 @@ def _mask_dice_rank_losses(cfg: ModelConfig, mask_logits: jax.Array,
 
     if "rank" not in skip:
         # softmax CE over the QUERY axis (axis 1) without transposing the
-        # (B, Q, h, w) volume to channels-last
+        # (B, Q, h, w) volume to channels-last.  NOTE: expressing this as
+        # logsumexp(m) - m[label] (avoiding the materialized log_softmax)
+        # measured 4x SLOWER on the chip (71.5 vs 18.3 ms group cost,
+        # tools_dev/bench_train.py) — keep the log_softmax form.
         labels = targets.rank_target  # (B, h, w)
         c = num_rows
         rvalid = (labels != cfg.ignore_label) & (labels >= 0) & (labels < c)

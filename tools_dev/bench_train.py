@@ -110,7 +110,7 @@ def main():
 
     orig = A.solve_assignment
 
-    def fake_solve(cost, valid, n):
+    def fake_solve(cost, valid, n, topk=1):
         m = cost.shape[1]
         p2g = jnp.where(jnp.arange(cost.shape[0]) < valid.shape[0],
                         jnp.arange(cost.shape[0]) % valid.shape[0], -1)
