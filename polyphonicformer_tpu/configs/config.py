@@ -151,6 +151,13 @@ class ModelConfig:
     # 53 + 11 stuff = 64 rows. >= max_per_img disables the prune.
     fusion_full_things: int = 53
 
+    # semantic_out_cfg ASPP auxiliary semantic head (reference
+    # kernel_head.py:203-211,307-309,561-566; registered capability, off in
+    # every shipped config)
+    with_semantic_aspp: bool = False
+    aspp_dilations: tuple = (1, 6, 12, 18)
+    loss_aspp_weight: float = 1.0
+
     # video additions
     with_track: bool = False
     track_head: TrackHeadConfig = TrackHeadConfig()

@@ -32,6 +32,9 @@ class RPNOutput(NamedTuple):
     depth_feats: jax.Array  # (B, h, w, C) depth branch features
     depth_proposal: jax.Array  # (B, 111, C) depth kernels
     depth_pred: jax.Array  # (B, h, w) dense depth logits
+    # auxiliary ASPP semantic logits (semantic_out_cfg head,
+    # kernel_head.py:307-309); None unless with_semantic_aspp is enabled
+    aspp_seg_preds: jax.Array | None = None
 
 
 class KernelHead(nn.Module):
@@ -42,6 +45,10 @@ class KernelHead(nn.Module):
     gn_groups: int = 32
     kernel_init_std: float = 1.0
     hard_mask_thr: float = 0.5
+    # semantic_out_cfg ASPP auxiliary head (kernel_head.py:203-211); off in
+    # every shipped reference config
+    with_semantic_aspp: bool = False
+    aspp_dilations: Sequence[int] = (1, 6, 12, 18)
 
     @property
     def num_classes(self) -> int:
@@ -91,6 +98,24 @@ class KernelHead(nn.Module):
 
         x_feats = semantic_feats + loc_feats
 
+        # auxiliary ASPP semantic prediction on the fused features
+        # (kernel_head.py:307-309); training-only consumer (the reference
+        # computes it at inference too but never uses the result —
+        # kernel_update.py:425-426)
+        aspp_seg_preds = None
+        if self.with_semantic_aspp:
+            from .aspp import ASPP
+
+            aspp_feats = ASPP(out_channels=c, dilations=self.aspp_dilations,
+                              gn_groups=self.gn_groups,
+                              name="semantic_aspp")(x_feats)
+            aspp_w = self.param("semantic_aspp_predict_weight", _NORMAL01,
+                                (self.num_classes, c))
+            aspp_b = self.param("semantic_aspp_predict_bias",
+                                nn.initializers.zeros, (self.num_classes,))
+            aspp_seg_preds = jnp.einsum("bhwc,nc->bhwn", aspp_feats,
+                                        aspp_w) + aspp_b
+
         # query init: kernel weights + binary-mask-pooled image features
         # (fused Pallas threshold+matmul kernel)
         from ..ops.pallas.mask_pool import masked_pool
@@ -121,4 +146,5 @@ class KernelHead(nn.Module):
             depth_feats=depth_feats,
             depth_proposal=depth_proposal,
             depth_pred=depth_pred,
+            aspp_seg_preds=aspp_seg_preds,
         )

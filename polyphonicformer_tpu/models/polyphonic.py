@@ -64,6 +64,8 @@ class PolyphonicFormer(nn.Module):
             num_thing_classes=cfg.num_thing_classes,
             num_stuff_classes=cfg.num_stuff_classes,
             channels=cfg.out_channels,
+            with_semantic_aspp=cfg.with_semantic_aspp,
+            aspp_dilations=cfg.aspp_dilations,
             name="rpn_head",
         )
         self.mask_heads = [

@@ -204,6 +204,15 @@ def compute_losses(cfg: ModelConfig, out: ModelOutput, gt: GTSample
         losses["loss_rpn_seg"] = cfg.loss_seg_weight * (
             focal * seg_valid[..., None]).sum() / num_dense_pos
 
+        # auxiliary ASPP semantic CE (semantic_out_cfg head): softmax CE with
+        # ignore_index=num_classes over the same dense seg target, x2
+        # upsampled like seg_preds (kernel_head.py:385-392,561-566)
+        if out.rpn.aspp_seg_preds is not None:
+            scaled_aspp = jnp.moveaxis(
+                _upsample2(jnp.moveaxis(out.rpn.aspp_seg_preds, -1, 1)), 1, -1)
+            losses["loss_aspp_semseg"] = cfg.loss_aspp_weight * softmax_ce_ignore(
+                scaled_aspp, seg_target, ignore_index=nc)
+
     if "depth" not in skip:
         # masked depth over 111 rows of (identical) dense depth (kernel_head.py:478-486)
         rpn_depth_logits = jnp.broadcast_to(
