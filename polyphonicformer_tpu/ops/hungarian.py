@@ -74,19 +74,36 @@ def _augmenting_path_step(cost, u, v, row4col, cur_row):
     return sink, min_val, path, spc, sr, sc
 
 
-def solve_lsa(cost: jax.Array) -> jax.Array:
+def solve_lsa(cost: jax.Array, row_valid: jax.Array | None = None) -> jax.Array:
     """Solve (possibly rectangular) LSA. Returns col4row: for each row, its
-    assigned column.
+    assigned column (-1 for rows skipped via ``row_valid``).
 
     cost: (r, n) float32 with r <= n — one shortest-augmenting-path
     iteration PER ROW (scipy lsap's rectangular form), so tall-thin
     problems (few GTs vs many predictions) cost r Dijkstras, not n.
+
+    row_valid: optional (r,) bool — rows to actually assign.  The serial
+    augmentation count drops from r to ``sum(row_valid)``: rows are visited
+    valid-first (row order never affects the LSA optimum) through a
+    ``while_loop`` whose trip count is the valid count, so under a lockstep
+    ``vmap`` the cost is max-over-lanes of the VALID rows, not the static
+    padding capacity (max_things=64 padded GT capacity vs ~a handful of real
+    instances per image).  ``lax.cond`` can't express this: vmap lowers it
+    to select-of-both-branches, which would run every Dijkstra anyway.
     """
     r, n = cost.shape
     assert r <= n, "cost must have rows <= cols; transpose before calling"
     cost = cost.astype(jnp.float32)
+    if row_valid is None:
+        order = jnp.arange(r, dtype=jnp.int32)
+        n_valid = jnp.int32(r)
+    else:
+        # stable argsort: valid rows first, original order preserved
+        order = jnp.argsort(~row_valid, stable=True).astype(jnp.int32)
+        n_valid = row_valid.sum().astype(jnp.int32)
 
-    def outer(cur_row, carry):
+    def outer(it, carry):
+        cur_row = order[it]
         u, v, row4col, col4row = carry
         sink, min_val, path, spc, sr, sc = _augmenting_path_step(
             cost, u, v, row4col, cur_row
@@ -121,7 +138,16 @@ def solve_lsa(cost: jax.Array) -> jax.Array:
     v = jnp.zeros((n,), jnp.float32)
     row4col = jnp.full((n,), -1, jnp.int32)
     col4row = jnp.full((r,), -1, jnp.int32)
-    u, v, row4col, col4row = lax.fori_loop(0, r, outer, (u, v, row4col, col4row))
+
+    def w_cond(state):
+        return state[0] < n_valid
+
+    def w_body(state):
+        it, carry = state
+        return it + 1, outer(it, carry)
+
+    _, (u, v, row4col, col4row) = lax.while_loop(
+        w_cond, w_body, (jnp.int32(0), (u, v, row4col, col4row)))
     return col4row
 
 
@@ -146,9 +172,10 @@ def match_gt_to_preds(cost_gt_pred: jax.Array, gt_valid: jax.Array,
     cost = jnp.where(gt_valid[:, None], cost_gt_pred.astype(jnp.float32), 0.0)
     # guard against non-finite costs
     cost = jnp.nan_to_num(cost, nan=1e8, posinf=1e8, neginf=-1e8)
-    # rectangular solve: max_gt Dijkstra iterations, NOT p — the serial
-    # while-loop count is the whole cost of on-device matching
-    gt2pred = solve_lsa(cost)
+    # rectangular solve over the VALID rows only: sum(gt_valid) Dijkstra
+    # iterations, not max_gt — the serial while-loop count is the whole
+    # cost of on-device matching
+    gt2pred = solve_lsa(cost, row_valid=gt_valid)
     return jnp.where(gt_valid, gt2pred, -1)
 
 

@@ -91,16 +91,30 @@ def _mask_dice_rank_losses(cfg: ModelConfig, mask_logits: jax.Array,
 
     if "rank" not in skip:
         # softmax CE over the QUERY axis (axis 1) without transposing the
-        # (B, Q, h, w) volume to channels-last.  NOTE: expressing this as
-        # logsumexp(m) - m[label] (avoiding the materialized log_softmax)
-        # measured 4x SLOWER on the chip (71.5 vs 18.3 ms group cost,
-        # tools_dev/bench_train.py) — keep the log_softmax form.
+        # (B, Q, h, w) volume to channels-last.
         labels = targets.rank_target  # (B, h, w)
         c = num_rows
         rvalid = (labels != cfg.ignore_label) & (labels >= 0) & (labels < c)
         safe = jnp.where(rvalid, labels, 0)
-        logp = jax.nn.log_softmax(m32, axis=1)
-        nll = -jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
+        import os
+
+        impl = os.environ.get("POLY_RANK_IMPL", "lse_pick")
+        if impl == "gather":
+            # original form: materialized log_softmax + axis-1 gather
+            logp = jax.nn.log_softmax(m32, axis=1)
+            nll = -jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
+        else:
+            # picked logit via a fused masked reduction instead of an axis-1
+            # gather (TPU gathers along a non-minor axis are per-element).
+            # onehot compare fuses into the reduction — never materialized.
+            onehot = (jnp.arange(c, dtype=jnp.int32)[None, :, None, None]
+                      == safe[:, None])
+            picked = jnp.sum(jnp.where(onehot, m32, 0.0), axis=1)
+            if impl == "softmax_pick":
+                logp = jax.nn.log_softmax(m32, axis=1)
+                nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=1)
+            else:  # lse_pick: no materialized log_softmax at all
+                nll = jax.nn.logsumexp(m32, axis=1) - picked
         losses[f"{prefix}_rank"] = cfg.loss_rank_weight * jnp.where(
             rvalid, nll, 0.0).mean()
 

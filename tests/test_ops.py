@@ -115,6 +115,36 @@ class TestHungarian:
             np.testing.assert_allclose(got_total, want_total, rtol=1e-5, atol=1e-4)
 
 
+def test_match_scattered_valid_rows_matches_scipy():
+    """row_valid fast path (Dijkstras only for VALID rows): scattered —
+    non-prefix — validity patterns must still match scipy's optimum on the
+    valid submatrix, including under a lockstep vmap with mixed counts."""
+    rng = np.random.RandomState(7)
+    max_gt, p = 32, 60
+    patterns = [
+        np.zeros(max_gt, bool),  # no valid rows at all
+        (rng.rand(max_gt) < 0.2),
+        (rng.rand(max_gt) < 0.7),
+        np.ones(max_gt, bool),
+    ]
+    patterns[1][[0, 31]] = [False, True]  # force a scattered shape
+    costs = rng.randn(len(patterns), max_gt, p).astype(np.float32) * 5
+    out = jax.vmap(lambda c, v: match_gt_to_preds(c, v))(
+        jnp.asarray(costs), jnp.asarray(np.stack(patterns)))
+    for b, valid in enumerate(patterns):
+        got = np.asarray(out[b])
+        assert (got[~valid] == -1).all()
+        idx = np.where(valid)[0]
+        if len(idx) == 0:
+            continue
+        sub = costs[b][idx]  # (G, P)
+        rows, cols = linear_sum_assignment(sub)
+        want_total = sub[rows, cols].sum()
+        assert len(set(got[idx].tolist())) == len(idx)
+        got_total = sub[np.arange(len(idx)), got[idx]].sum()
+        np.testing.assert_allclose(got_total, want_total, rtol=1e-5, atol=1e-4)
+
+
 def test_solve_lsa_rectangular_direct():
     """Direct rectangular solves (r x n, r<=n) match scipy's optimum."""
     for r, n, seed in [(1, 5, 0), (4, 9, 1), (16, 100, 2), (8, 8, 3)]:
