@@ -79,6 +79,11 @@ class TrackHeadConfig:
     roi_sampling_ratio: int = 2
     featmap_strides: Tuple[int, ...] = (4, 8, 16, 32)
     finest_scale: int = 56
+    # RoIAlign formulation: "separable" = per-level interpolation matmuls
+    # (MXU fwd+bwd, the training default — the gather formulation's backward
+    # is a serialized scatter-add); "gather" = flattened-pyramid gather
+    # (kept as the bit-parity oracle path; identical to tolerance ~1e-4).
+    roi_impl: str = "separable"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -40,6 +40,46 @@ def depth_loss_raw(pred_depth: jax.Array, target: jax.Array,
     return jnp.where(n > 0, out, jnp.zeros_like(out))
 
 
+def depth_loss_raw_stacked(pred_depth: jax.Array, target: jax.Array,
+                           mask_weight: jax.Array, min_depth: float = 0.0,
+                           max_depth: float = 80.0) -> jax.Array:
+    """``depth_loss_raw`` for S independent problems stacked on axis 0 —
+    each stage's reduction set is identical to the unstacked call, but the
+    S problems share one pass of elementwise work.  Returns (S, 3)."""
+    s = pred_depth.shape[0]
+    pred = pred_depth.astype(jnp.float32).reshape(s, -1)
+    t = target.astype(jnp.float32).reshape(s, -1)
+    w = mask_weight.astype(jnp.float32).reshape(s, -1)
+    mask = (t > min_depth) & (t < max_depth) & (w != 0)
+    mf = mask.astype(jnp.float32)
+    n = mf.sum(axis=1)  # (S,)
+    safe_t = jnp.where(mask, t, 1.0)
+    safe_p = jnp.where(mask, pred, 1.0)
+    log_minus = (jnp.log(safe_p) - jnp.log(safe_t)) * w * mf
+    minus = (safe_p - safe_t) * w * mf
+    n_safe = jnp.maximum(n, 1.0)
+    si_err = (jnp.sum(jnp.square(log_minus), axis=1) / n_safe
+              - jnp.sum(log_minus, axis=1) / (n_safe * n_safe))
+    sq_rel = jnp.sqrt(jnp.maximum(
+        jnp.sum(jnp.square(minus / safe_t), axis=1) / n_safe, 1e-20))
+    abs_rel = jnp.sum(jnp.abs(minus / safe_t), axis=1) / n_safe
+    out = jnp.stack([si_err, sq_rel, abs_rel], axis=1)  # (S, 3)
+    return jnp.where((n > 0)[:, None], out, jnp.zeros_like(out))
+
+
+def depth_loss_stacked(pred_logits: jax.Array, target: jax.Array,
+                       mask_weight: jax.Array, loss_weight: float = 1.0,
+                       depth_act_mode: str = "sigmoid", si_weight: float = 1.0,
+                       sq_rel_weight: float = 1.0,
+                       abs_rel_weight: float = 1.0) -> jax.Array:
+    """``depth_loss`` over S stacked problems; returns (S,)."""
+    pred = depth_act(pred_logits, mode=depth_act_mode)
+    errs = depth_loss_raw_stacked(pred, target, mask_weight)
+    weights = jnp.asarray([si_weight, sq_rel_weight, abs_rel_weight],
+                          jnp.float32)
+    return loss_weight * (errs * weights[None]).mean(axis=1)
+
+
 def depth_loss(pred_logits: jax.Array, target: jax.Array, mask_weight: jax.Array,
                loss_weight: float = 1.0, depth_act_mode: str = "sigmoid",
                si_weight: float = 1.0, sq_rel_weight: float = 1.0,

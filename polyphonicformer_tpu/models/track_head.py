@@ -11,7 +11,8 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import TrackHeadConfig
-from ..ops.roi_align import masks_to_boxes_mad, multilevel_roi_align
+from ..ops.roi_align import (masks_to_boxes_mad, multilevel_roi_align,
+                             multilevel_roi_align_separable)
 from .layers import ConvNormAct
 
 _XAVIER = nn.initializers.xavier_uniform()
@@ -49,11 +50,15 @@ class TrackHead(nn.Module):
         Returns (B, M, E)."""
         cfg = self.cfg
 
+        roi_align_fn = (multilevel_roi_align_separable
+                        if cfg.roi_impl == "separable"
+                        else multilevel_roi_align)
+
         def per_image(feats, m, valid, bxs):
             if bxs is None:
                 bxs = masks_to_boxes_mad(m)
             bxs = jnp.where(valid[:, None], bxs, 0.0)
-            rois = multilevel_roi_align(
+            rois = roi_align_fn(
                 feats, bxs, strides=cfg.featmap_strides,
                 out_size=cfg.roi_feat_size, sampling_ratio=cfg.roi_sampling_ratio,
                 finest_scale=cfg.finest_scale)

@@ -186,6 +186,78 @@ def multilevel_roi_align(feats: Sequence[jax.Array], rois: jax.Array,
     return out.mean(axis=(2, 4))
 
 
+def _interp_axis_matrix(lo: jax.Array, hi: jax.Array, size: int,
+                        scale: jax.Array, out_size: int, g: int) -> jax.Array:
+    """Per-ROI 1-D interpolation matrix A (M, out_size, size) such that
+    ``A @ feat_axis`` reproduces one axis of RoIAlign's bilinear sampling
+    (including the sampling_ratio average and the mmcv boundary semantics
+    of ``_bilinear_sample``: zero outside [-1, size], clamp at borders).
+
+    lo/hi: (M,) roi start/end in input-image coords; scale: (M,) or scalar
+    spatial scale for the target level.
+    """
+    m = lo.shape[0]
+    a = lo * scale - 0.5
+    b = hi * scale - 0.5
+    bin_sz = (b - a) / out_size
+    bin_idx = jnp.arange(out_size, dtype=jnp.float32)
+    sub_idx = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
+    off = bin_idx[:, None] + sub_idx[None, :]  # (out, g) in bins
+    coords = a[:, None, None] + off[None] * bin_sz[:, None, None]  # (M,out,g)
+    valid = (coords >= -1.0) & (coords <= size)
+    x = jnp.clip(coords, 0.0, None)
+    x_low = jnp.floor(x).astype(jnp.int32)
+    over = x_low >= size - 1
+    x_low = jnp.where(over, size - 1, x_low)
+    x = jnp.where(over, x_low.astype(x.dtype), x)
+    x_high = jnp.minimum(x_low + 1, size - 1)
+    lx = x - x_low
+    hx = 1.0 - lx
+    w_low = jnp.where(valid, hx, 0.0)
+    w_high = jnp.where(valid, lx, 0.0)
+    mat = (jax.nn.one_hot(x_low, size, dtype=jnp.float32) * w_low[..., None]
+           + jax.nn.one_hot(x_high, size, dtype=jnp.float32) * w_high[..., None])
+    return mat.mean(axis=2)  # fold the sampling_ratio average: (M, out, size)
+
+
+def multilevel_roi_align_separable(feats: Sequence[jax.Array], rois: jax.Array,
+                                   strides: Sequence[int] = (4, 8, 16, 32),
+                                   out_size: int = 7, sampling_ratio: int = 2,
+                                   finest_scale: int = 56) -> jax.Array:
+    """RoIAlign with FPN routing as per-level separable interpolation
+    MATMULS — no gather in the forward and no scatter-add in the backward.
+
+    Bilinear sampling is separable: each RoI's (out, out) grid is
+    ``A_y @ feat @ A_x^T`` with per-ROI 1-D interpolation matrices, and the
+    sampling_ratio average folds into the matrices.  Per level, rois mapped
+    elsewhere get zeroed matrices, and the level outputs sum (exact
+    one-hot routing).  Everything is an einsum, so fwd AND bwd run on the
+    MXU — this is the training-path formulation, where the backward of the
+    gather version is a serialized scatter-add into the P2 grid.  Matches
+    ``multilevel_roi_align`` to float tolerance (associativity differs;
+    tests/test_ops.py).
+    """
+    num_levels = len(feats)
+    dtype = feats[0].dtype
+    lvls = map_roi_levels(rois, num_levels, finest_scale)
+    out = None
+    for lv, (feat, stride) in enumerate(zip(feats, strides)):
+        h, w, _c = feat.shape
+        sel = (lvls == lv).astype(jnp.float32)
+        scale = jnp.float32(1.0 / stride)
+        ay = _interp_axis_matrix(rois[:, 1], rois[:, 3], h, scale,
+                                 out_size, sampling_ratio) * sel[:, None, None]
+        ax = _interp_axis_matrix(rois[:, 0], rois[:, 2], w, scale,
+                                 out_size, sampling_ratio)
+        ay = ay.astype(dtype)
+        ax = ax.astype(dtype)
+        # contract x first (smaller intermediate), then y
+        t = jnp.einsum("mxw,hwc->mhxc", ax, feat)
+        r = jnp.einsum("myh,mhxc->myxc", ay, t)
+        out = r if out is None else out + r
+    return out
+
+
 def masks_to_boxes_mad(masks: jax.Array, extend: float = 2.0) -> jax.Array:
     """Mask -> box via center ± extend * mean-absolute-deviation, matching
     the reference's coords2bboxTensor (video/utils.py:39-82).

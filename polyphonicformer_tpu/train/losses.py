@@ -51,48 +51,55 @@ def _skip_groups() -> frozenset:
     return frozenset(x for x in v.split(",") if x)
 
 
-def _mask_dice_rank_losses(cfg: ModelConfig, mask_logits: jax.Array,
-                           targets: StageTargets, gt: GTSample,
-                           num_rows: int, prefix: str,
-                           losses: Dict[str, jax.Array]) -> None:
-    """Shared mask BCE + dice + rank losses over the first ``num_rows`` rows.
+def _mask_dice_rank_losses_stacked(cfg: ModelConfig, mask_logits: jax.Array,
+                                   targets: StageTargets, gt: GTSample,
+                                   num_rows: int, prefixes,
+                                   losses: Dict[str, jax.Array]) -> None:
+    """Shared mask BCE + dice + rank losses over the first ``num_rows`` rows
+    for S stacked stages at once.
 
-    mask_logits: (B, Q', h, w) where Q' == num_rows.
+    mask_logits: (S, B, Q', h, w) with Q' == num_rows; targets leaves carry a
+    leading (S, B, ...) — the S refinement stages' losses are structurally
+    identical, so computing them in ONE set of contractions (stage axis
+    folded into the einsums) replaces 3 sequences of small ops with one; the
+    per-stage normalizations are preserved exactly by reducing to (S,)
+    vectors.  prefixes: length-S loss-name prefixes.
     """
     skip = _skip_groups()
-    pos = targets.pos_row[:, :num_rows].astype(jnp.float32)  # (B, Q')
-    tgt = targets.mask_targets[:, :num_rows]
+    pos = targets.pos_row[..., :num_rows].astype(jnp.float32)  # (S, B, Q')
+    tgt = targets.mask_targets[..., :num_rows, :, :]
     valid = gt.valid_mask  # (B, h, w)
+    s = mask_logits.shape[0]
 
-    # All reductions below are expressed as einsum contractions with the
-    # row/pixel weights as separate operands — mathematically identical to
-    # the materialize-then-reduce forms but without the (B, Q, h, w)
-    # intermediates that made the loss side dominate the train step
-    # (tools_dev/bench_train.py attribution).
     m32 = mask_logits.astype(jnp.float32)
 
     if "mask" not in skip:
         bce = binary_cross_entropy_with_logits(m32, tgt)
         # (elem_w > 0) == pos_row & valid, which is separable
         denom = jnp.maximum(
-            jnp.einsum("bq,b->", pos, valid.sum(axis=(1, 2))), 1.0)
-        losses[f"{prefix}_mask"] = cfg.loss_mask_weight * jnp.einsum(
-            "bqhw,bq,bhw->", bce, pos, valid) / denom
+            jnp.einsum("sbq,b->s", pos, valid.sum(axis=(1, 2))), 1.0)
+        mask_vec = cfg.loss_mask_weight * jnp.einsum(
+            "sbqhw,sbq,bhw->s", bce, pos, valid) / denom
+        for i, p in enumerate(prefixes):
+            losses[f"{p}_mask"] = mask_vec[i]
 
     if "dice" not in skip:
         # dice over valid pixels: valid is 0/1 so (p*m)^2 == p^2*m etc.
         p = jax.nn.sigmoid(m32)
-        a = jnp.einsum("bqhw,bqhw,bhw->bq", p, tgt, valid)
-        bb = jnp.einsum("bqhw,bqhw,bhw->bq", p, p, valid) + 1e-3
-        cc = jnp.einsum("bqhw,bqhw,bhw->bq", tgt, tgt, valid) + 1e-3
+        a = jnp.einsum("sbqhw,sbqhw,bhw->sbq", p, tgt, valid)
+        bb = jnp.einsum("sbqhw,sbqhw,bhw->sbq", p, p, valid) + 1e-3
+        cc = jnp.einsum("sbqhw,sbqhw,bhw->sbq", tgt, tgt, valid) + 1e-3
         dice = 1.0 - 2.0 * a / (bb + cc)
-        num_pos = jnp.maximum(pos.sum(), 1.0)
-        losses[f"{prefix}_dice"] = cfg.loss_dice_weight * (dice * pos).sum() / num_pos
+        num_pos = jnp.maximum(pos.sum(axis=(1, 2)), 1.0)  # (S,)
+        dice_vec = cfg.loss_dice_weight * (
+            (dice * pos).sum(axis=(1, 2)) / num_pos)
+        for i, pfx in enumerate(prefixes):
+            losses[f"{pfx}_dice"] = dice_vec[i]
 
     if "rank" not in skip:
-        # softmax CE over the QUERY axis (axis 1) without transposing the
-        # (B, Q, h, w) volume to channels-last.
-        labels = targets.rank_target  # (B, h, w)
+        # softmax CE over the QUERY axis (axis 2) without transposing the
+        # (S, B, Q, h, w) volume to channels-last.
+        labels = targets.rank_target  # (S, B, h, w)
         c = num_rows
         rvalid = (labels != cfg.ignore_label) & (labels >= 0) & (labels < c)
         safe = jnp.where(rvalid, labels, 0)
@@ -100,23 +107,36 @@ def _mask_dice_rank_losses(cfg: ModelConfig, mask_logits: jax.Array,
 
         impl = os.environ.get("POLY_RANK_IMPL", "lse_pick")
         if impl == "gather":
-            # original form: materialized log_softmax + axis-1 gather
-            logp = jax.nn.log_softmax(m32, axis=1)
-            nll = -jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
+            # original form: materialized log_softmax + axis-2 gather
+            logp = jax.nn.log_softmax(m32, axis=2)
+            nll = -jnp.take_along_axis(logp, safe[:, :, None], axis=2)[:, :, 0]
         else:
-            # picked logit via a fused masked reduction instead of an axis-1
+            # picked logit via a fused masked reduction instead of an axis
             # gather (TPU gathers along a non-minor axis are per-element).
             # onehot compare fuses into the reduction — never materialized.
-            onehot = (jnp.arange(c, dtype=jnp.int32)[None, :, None, None]
-                      == safe[:, None])
-            picked = jnp.sum(jnp.where(onehot, m32, 0.0), axis=1)
+            onehot = (jnp.arange(c, dtype=jnp.int32)[None, None, :, None, None]
+                      == safe[:, :, None])
+            picked = jnp.sum(jnp.where(onehot, m32, 0.0), axis=2)
             if impl == "softmax_pick":
-                logp = jax.nn.log_softmax(m32, axis=1)
-                nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=1)
+                logp = jax.nn.log_softmax(m32, axis=2)
+                nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=2)
             else:  # lse_pick: no materialized log_softmax at all
-                nll = jax.nn.logsumexp(m32, axis=1) - picked
-        losses[f"{prefix}_rank"] = cfg.loss_rank_weight * jnp.where(
-            rvalid, nll, 0.0).mean()
+                nll = jax.nn.logsumexp(m32, axis=2) - picked
+        rank_vec = cfg.loss_rank_weight * jnp.where(
+            rvalid, nll, 0.0).reshape(s, -1).mean(axis=1)
+        for i, pfx in enumerate(prefixes):
+            losses[f"{pfx}_rank"] = rank_vec[i]
+
+
+def _mask_dice_rank_losses(cfg: ModelConfig, mask_logits: jax.Array,
+                           targets: StageTargets, gt: GTSample,
+                           num_rows: int, prefix: str,
+                           losses: Dict[str, jax.Array]) -> None:
+    """Single-problem wrapper over the stacked form (S=1)."""
+    _mask_dice_rank_losses_stacked(
+        cfg, mask_logits[None],
+        jax.tree_util.tree_map(lambda a: a[None], targets),
+        gt, num_rows, [prefix], losses)
 
 
 def _depth_stage_loss(cfg: ModelConfig, depth_logits: jax.Array,
@@ -151,27 +171,37 @@ def compute_losses(cfg: ModelConfig, out: ModelOutput, gt: GTSample
     # 4 solves cost one (measured: the assignment dominated the train step).
     # Reference equivalent: the 4 sequential scipy calls per image
     # (/root/reference/polyphonic/funcs/assigner.py:511-533).
+    # refinement-stage predictions stacked on a leading stage axis: the S
+    # stages' upsamples / targets / losses are structurally identical, so
+    # one set of (S, ...)-shaped ops replaces S sequences of small ops (the
+    # loss side is op-count bound, not bandwidth bound — ROUND3.md).
+    stage_masks = jnp.stack([so.mask_preds for so in out.stages])  # (S,B,Q,h,w)
+    stage_deps = jnp.stack([so.depth_preds for so in out.stages])
+    stage_cls = jnp.stack([so.cls_score for so in out.stages])  # (S,B,Q,C)
+    scaled_stage_masks = _upsample2(stage_masks)
+    scaled_stage_deps = _upsample2(stage_deps)
+
     cost_list = []  # each (B, P, M)
     rpn_masks_det = jax.lax.stop_gradient(scaled_rpn_masks)
     cost_list.append(jax.vmap(
         lambda m, g: assignment_cost(cfg.rpn_assigner, m, None, g)
     )(rpn_masks_det, gt))
 
-    stage_prev_mask = jax.lax.stop_gradient(_upsample2(out.rpn.mask_preds))
-    stage_prev_cls = None
-    for stage, so in enumerate(out.stages):
-        pm = stage_prev_mask[:, :np_]
-        if stage_prev_cls is None:
+    det_masks = jax.lax.stop_gradient(scaled_stage_masks)
+    det_cls = jax.lax.stop_gradient(stage_cls)
+    for stage in range(len(out.stages)):
+        if stage == 0:
+            pm = jax.lax.stop_gradient(
+                _upsample2(out.rpn.mask_preds))[:, :np_]
             cost_list.append(jax.vmap(
                 lambda m, g: assignment_cost(cfg.rcnn_assigner, m, None, g)
             )(pm, gt))
         else:
-            pc = stage_prev_cls[:, :np_, :nt]
+            pm = det_masks[stage - 1][:, :np_]
+            pc = det_cls[stage - 1][:, :np_, :nt]
             cost_list.append(jax.vmap(
                 lambda m, c, g: assignment_cost(cfg.rcnn_assigner, m, c, g)
             )(pm, pc, gt))
-        stage_prev_mask = jax.lax.stop_gradient(_upsample2(so.mask_preds))
-        stage_prev_cls = jax.lax.stop_gradient(so.cls_score)
 
     ns = len(cost_list)  # 1 + num_stages
     tk_rpn, tk_rcnn = cfg.rpn_assigner.topk, cfg.rcnn_assigner.topk
@@ -239,44 +269,61 @@ def compute_losses(cfg: ModelConfig, out: ModelOutput, gt: GTSample
             loss_weight=cfg.rpn_depth_loss.loss_weight,
             depth_act_mode=cfg.rpn_depth_loss.depth_act_mode)
 
-    # ---- refinement stages ----------------------------------------------
+    # ---- refinement stages (stacked) --------------------------------------
     # stage s is (re-)assigned on stage s-1's detached predictions
-    # (kernel_update.py:208-275) — solved above in the batched lockstep pass
-    for stage, so in enumerate(out.stages):
-        scaled_mask = _upsample2(so.mask_preds)
-        scaled_dep = _upsample2(so.depth_preds)
+    # (kernel_update.py:208-275) — solved above in the batched lockstep pass.
+    # All S stages' targets and losses compute in one stacked pass; each
+    # per-stage normalization reduces to a (S,) vector, so the values match
+    # the sequential form exactly.
+    n_stages = len(out.stages)
+    stage_assigns = AssignResult(
+        pred2gt=jnp.stack([assigns[s + 1].pred2gt for s in range(n_stages)]),
+        gt2pred=jnp.stack([assigns[s + 1].gt2pred for s in range(n_stages)]))
 
-        assign = assigns[stage + 1]
+    build_one = jax.vmap(
+        lambda a, g: build_stage_targets(a, g, np_, nt, nc, cfg.ignore_label,
+                                         with_direct_row=True))
+    targets = jax.vmap(lambda a: build_one(a, gt))(stage_assigns)
 
-        targets = jax.vmap(
-            lambda a, g: build_stage_targets(a, g, np_, nt, nc, cfg.ignore_label,
-                                             with_direct_row=True)
-        )(assign, gt)
+    prefixes = [f"s{i}_loss" for i in range(n_stages)]
+    pos = targets.pos_row.astype(jnp.float32)  # (S, B, Q)
+    num_pos_vec = jnp.maximum(pos.sum(axis=(1, 2)) / b, 1.0)  # (S,)
+    if "cls" not in skip:
+        onehot = jax.nn.one_hot(targets.labels, nc + 1,
+                                dtype=jnp.float32)[..., :nc]
+        focal = sigmoid_focal_loss_elements(
+            stage_cls.astype(jnp.float32), onehot, cfg.focal_gamma,
+            cfg.focal_alpha)
+        cls_vec = cfg.loss_cls_weight * (
+            (focal * targets.label_weights).sum(axis=(1, 2, 3))
+            / (num_pos_vec * b))
+        for i, p in enumerate(prefixes):
+            losses[f"{p}_cls"] = cls_vec[i]
+    # pos_acc metric: top-1 accuracy on positive queries (reference
+    # kernel_update_head.py:400-401; metric only — excluded from total
+    # by the "_acc" suffix convention below)
+    pred_cls = jnp.argmax(stage_cls, axis=-1)  # (S, B, Q)
+    correct = (pred_cls == targets.labels).astype(jnp.float32) * pos
+    acc_vec = 100.0 * correct.sum(axis=(1, 2)) / jnp.maximum(
+        pos.sum(axis=(1, 2)), 1.0)
+    for i in range(n_stages):
+        losses[f"s{i}_pos_acc"] = acc_vec[i]
 
-        p = f"s{stage}_loss"
-        # cls focal with per-class label weights and num_pos normalization
-        num_pos = jnp.maximum(targets.pos_row.astype(jnp.float32).sum() / b, 1.0)
-        if "cls" not in skip:
-            onehot = jax.nn.one_hot(targets.labels, nc + 1,
-                                    dtype=jnp.float32)[..., :nc]
-            focal = sigmoid_focal_loss_elements(
-                so.cls_score.astype(jnp.float32), onehot, cfg.focal_gamma,
-                cfg.focal_alpha)
-            losses[f"{p}_cls"] = cfg.loss_cls_weight * (
-                focal * targets.label_weights).sum() / (num_pos * b)
-        # pos_acc metric: top-1 accuracy on positive queries (reference
-        # kernel_update_head.py:400-401; metric only — excluded from total
-        # by the "_acc" suffix convention below)
-        pred_cls = jnp.argmax(so.cls_score, axis=-1)
-        pos = targets.pos_row.astype(jnp.float32)
-        correct = (pred_cls == targets.labels).astype(jnp.float32) * pos
-        losses[f"s{stage}_pos_acc"] = 100.0 * correct.sum() / jnp.maximum(
-            pos.sum(), 1.0)
+    _mask_dice_rank_losses_stacked(cfg, scaled_stage_masks, targets, gt, nq,
+                                   prefixes, losses)
+    if "depth" not in skip:
+        from ..losses.depth_loss import depth_loss_stacked
 
-        _mask_dice_rank_losses(cfg, scaled_mask, targets, gt, nq, p, losses)
-        if "depth" not in skip:
-            losses[f"{p}_depth"] = _depth_stage_loss(
-                cfg, scaled_dep, targets, gt, cfg.rcnn_depth_loss)
+        wcfg = cfg.rcnn_depth_loss
+        dep_tgt = (gt.depth[None, :, None]
+                   * targets.depth_has_target[:, :, :, None, None])
+        dep_vec = depth_loss_stacked(
+            scaled_stage_deps, dep_tgt, targets.depth_weights,
+            loss_weight=wcfg.loss_weight, depth_act_mode=wcfg.depth_act_mode,
+            si_weight=wcfg.si_weight, sq_rel_weight=wcfg.sq_rel_weight,
+            abs_rel_weight=wcfg.abs_rel_weight)
+        for i, p in enumerate(prefixes):
+            losses[f"{p}_depth"] = dep_vec[i]
 
     total = jnp.sum(jnp.stack([v for k, v in losses.items()
                                if not k.endswith("_acc")]))

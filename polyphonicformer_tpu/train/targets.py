@@ -49,14 +49,18 @@ def _scatter_thing_rows(values: jax.Array, assign: AssignResult,
 
     With topk > 1 each GT's values land in every round's matched row
     (rounds are disjoint in pred rows)."""
-    m = values.shape[0]
-    out = jnp.zeros((num_rows + 1,) + values.shape[1:], values.dtype)
+    # one-hot contraction instead of a row scatter: matched pred rows are
+    # disjoint across GTs and rounds, so the sum IS the scatter — and the
+    # einsum runs as one MXU contraction instead of a serialized
+    # per-index scatter.
+    flat = values.reshape(values.shape[0], -1).astype(jnp.float32)
+    onehot = None
     for g2p in _gt2pred_rounds(assign):
         ok = gt.thing_valid & (g2p >= 0)
-        idx = jnp.where(ok, g2p, num_rows)  # overflow row for invalid
-        out = out.at[idx].set(jnp.where(
-            ok.reshape((m,) + (1,) * (values.ndim - 1)), values, 0))
-    return out[:num_rows]
+        oh = (g2p[:, None] == jnp.arange(num_rows)[None]) & ok[:, None]
+        onehot = oh if onehot is None else (onehot | oh)
+    out = jnp.einsum("mq,mv->qv", onehot.astype(jnp.float32), flat)
+    return out.reshape((num_rows,) + values.shape[1:]).astype(values.dtype)
 
 
 def build_stage_targets(assign: AssignResult, gt: GTSample,

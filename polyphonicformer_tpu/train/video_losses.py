@@ -112,19 +112,32 @@ def video_forward_losses(model: PolyphonicFormer, variables, cfg: ModelConfig,
     from .losses import _skip_groups
 
     if "track" not in _skip_groups():
-        # track embeddings from GT masks.  (A bit-exact marginal shortcut
-        # exists — gt_track_boxes computes the RoI boxes from stride-4
-        # support marginals without materializing the full-res masks — but
-        # the materialized path measured FASTER end-to-end on the chip
-        # (188 vs 222 ms/step): the box chain's many small serial ops
-        # schedule worse than the big fused upsample.  Keep the masks path;
-        # gt_track_boxes stays available and parity-tested.)
-        key_masks = gt_track_masks(batch.gt, pad_hw)
-        ref_masks = gt_track_masks(batch.ref_gt, pad_hw)
-        key_embeds = apply(PolyphonicFormer.forward_track_embeds, key_feats,
-                           key_masks, batch.gt.thing_valid)
-        ref_embeds = apply(PolyphonicFormer.forward_track_embeds, ref_feats,
-                           ref_masks, batch.ref_gt.thing_valid)
+        import os
+
+        # track embedding RoI boxes: "marginal" computes them bit-exactly
+        # from stride-4 support marginals (gt_track_boxes) without ever
+        # materializing the (B, M, H, W) full-res GT mask volume that the
+        # reference semantics describe; "masks" materializes the upsampled
+        # masks and reduces them (the literal form).  Both are parity-tested
+        # (tests/test_track_boxes.py); the default is re-measured per round
+        # (tools_dev/bench_loss_groups.py).
+        if os.environ.get("POLY_TRACK_BOXES", "marginal") == "marginal":
+            dummy = jnp.zeros((batch.gt.thing_masks.shape[0],
+                               batch.gt.thing_masks.shape[1], 1, 1),
+                              jnp.float32)
+            key_embeds = apply(PolyphonicFormer.forward_track_embeds,
+                               key_feats, dummy, batch.gt.thing_valid,
+                               gt_track_boxes(batch.gt, pad_hw))
+            ref_embeds = apply(PolyphonicFormer.forward_track_embeds,
+                               ref_feats, dummy, batch.ref_gt.thing_valid,
+                               gt_track_boxes(batch.ref_gt, pad_hw))
+        else:
+            key_masks = gt_track_masks(batch.gt, pad_hw)
+            ref_masks = gt_track_masks(batch.ref_gt, pad_hw)
+            key_embeds = apply(PolyphonicFormer.forward_track_embeds,
+                               key_feats, key_masks, batch.gt.thing_valid)
+            ref_embeds = apply(PolyphonicFormer.forward_track_embeds,
+                               ref_feats, ref_masks, batch.ref_gt.thing_valid)
 
         track_losses = track_pair_losses(cfg, key_embeds, ref_embeds,
                                          batch.gt, batch.ref_gt)

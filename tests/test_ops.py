@@ -182,3 +182,56 @@ def test_multilevel_roi_align_flat_equals_dense():
     b = multilevel_roi_align_dense(feats, rois)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_multilevel_roi_align_separable_matches_gather():
+    """The separable-matmul RoIAlign (training path: MXU einsums, no
+    gather/scatter) matches the flattened-gather formulation to float
+    tolerance across levels and edge cases."""
+    from polyphonicformer_tpu.ops.roi_align import (
+        multilevel_roi_align,
+        multilevel_roi_align_separable,
+    )
+
+    rng = np.random.RandomState(1)
+    feats = [jnp.asarray(rng.randn(64 // (2 ** i), 128 // (2 ** i), 16),
+                         jnp.float32) for i in range(4)]
+    rois = np.stack([
+        rng.uniform(0, 200, 12), rng.uniform(0, 120, 12),
+        rng.uniform(0, 512, 12), rng.uniform(0, 256, 12)], axis=1)
+    rois = np.sort(rois.reshape(12, 2, 2), axis=1).transpose(0, 2, 1) \
+        .reshape(12, 4)[:, [0, 2, 1, 3]]
+    rois = jnp.asarray(np.concatenate(
+        [rois, [[0, 0, 0, 0]], [[5, 5, 500, 250]], [[-10, -10, 700, 300]]]),
+        jnp.float32)
+    a = multilevel_roi_align(feats, rois)
+    b = multilevel_roi_align_separable(feats, rois)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_separable_grad_matches_gather():
+    """Feature gradients agree between the two formulations (the whole
+    point: the separable bwd is einsums, not a scatter-add)."""
+    from polyphonicformer_tpu.ops.roi_align import (
+        multilevel_roi_align,
+        multilevel_roi_align_separable,
+    )
+
+    rng = np.random.RandomState(2)
+    feats = [jnp.asarray(rng.randn(32 // (2 ** i), 64 // (2 ** i), 8),
+                         jnp.float32) for i in range(4)]
+    rois = jnp.asarray([[3.0, 2.0, 60.0, 30.0], [0.0, 0.0, 250.0, 120.0],
+                        [10.0, 5.0, 40.0, 90.0]], jnp.float32)
+    ct = jnp.asarray(rng.randn(3, 7, 7, 8), jnp.float32)
+
+    def f(fn):
+        def loss(fs):
+            return (fn(fs, rois) * ct).sum()
+        return jax.grad(loss)(feats)
+
+    ga = f(multilevel_roi_align)
+    gb = f(multilevel_roi_align_separable)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-4)
