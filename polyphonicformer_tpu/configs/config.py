@@ -79,11 +79,12 @@ class TrackHeadConfig:
     roi_sampling_ratio: int = 2
     featmap_strides: Tuple[int, ...] = (4, 8, 16, 32)
     finest_scale: int = 56
-    # RoIAlign formulation: "separable" = per-level interpolation matmuls
-    # (MXU fwd+bwd, the training default — the gather formulation's backward
-    # is a serialized scatter-add); "gather" = flattened-pyramid gather
-    # (kept as the bit-parity oracle path; identical to tolerance ~1e-4).
-    roi_impl: str = "separable"
+    # RoIAlign formulation: "gather" = flattened-pyramid gather (default —
+    # measured fastest end-to-end on v5e, tools_dev/bench_track_variants.py:
+    # 164 vs 172 ms/step; the scatter-add backward is NOT a bottleneck at
+    # these ROI counts); "separable" = per-level interpolation matmuls
+    # (MXU fwd+bwd, identical to ~1e-4 — kept for larger-ROI regimes).
+    roi_impl: str = "gather"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -115,15 +115,25 @@ class TrainLoader:
 
 
 def synthetic_batch(model_cfg: ModelConfig, batch: int, hw=(256, 512),
-                    two_frame: bool = False, seed: int = 0) -> TrainBatch:
-    """Random but well-formed batch for tests/benchmarks without the dataset."""
+                    two_frame: bool = False, seed: int = 0,
+                    max_instances: int | None = None) -> TrainBatch:
+    """Random but well-formed batch for tests/benchmarks without the dataset.
+
+    max_instances bounds the per-image thing count (default 8, the light
+    test density; pass ~24 for Cityscapes-like or ~40 for SemKITTI-like
+    density — the Hungarian solver cost scales with the valid GT count).
+    """
     rng = np.random.RandomState(seed)
     h, w = hw
     ah, aw = h // model_cfg.mask_assign_stride, w // model_cfg.mask_assign_stride
     mt, ns = model_cfg.max_things, model_cfg.num_stuff_classes
 
     def one_gt():
-        n = rng.randint(1, min(mt, 8))
+        if max_instances is None:
+            n = rng.randint(1, min(mt, 8))  # light density (tests)
+        else:
+            n = rng.randint(max(max_instances // 2, 1),
+                            min(mt, max_instances) + 1)
         cy = rng.randint(0, ah, n)
         cx = rng.randint(0, aw, n)
         r = rng.randint(4, max(ah // 3, 5), n)

@@ -179,6 +179,36 @@ def match_gt_to_preds(cost_gt_pred: jax.Array, gt_valid: jax.Array,
     return jnp.where(gt_valid, gt2pred, -1)
 
 
+def _use_pallas_lsa() -> bool:
+    """Default ON for TPU backends (opt out with POLY_PALLAS_LSA=0); CPU
+    always takes the lax implementation (identical semantics, tested)."""
+    import os
+
+    if os.environ.get("POLY_PALLAS_LSA", "1") == "0":
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def match_gt_to_preds_batched(cost_gt_pred: jax.Array,
+                              gt_valid: jax.Array) -> jax.Array:
+    """Batched ``match_gt_to_preds``: (N, MAX_GT, P) costs, (N, MAX_GT)
+    valid -> (N, MAX_GT) matched pred columns (-1 for invalid rows).
+
+    On TPU the N lockstep problems solve inside ONE Pallas kernel
+    (ops/pallas/lsa.py) — the whole state is VMEM-resident so each serial
+    algorithm step is a handful of VPU ops instead of a multi-op XLA
+    while-loop body.  Elsewhere (and under POLY_PALLAS_LSA=0) it is the
+    vmapped lax solver."""
+    if _use_pallas_lsa():
+        from .pallas.lsa import solve_lsa_pallas
+
+        return solve_lsa_pallas(cost_gt_pred, gt_valid)
+    return jax.vmap(match_gt_to_preds)(cost_gt_pred, gt_valid)
+
+
 def gt2pred_to_assignment(gt2pred: jax.Array, num_preds: int) -> jax.Array:
     """Invert a gt->pred matching into per-pred assigned gt index (-1 = bg).
 

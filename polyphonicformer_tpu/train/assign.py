@@ -96,6 +96,33 @@ def depth_match_cost(depth_logits: jax.Array, gt_depth: jax.Array,
     return si + sq_rel + abs_rel
 
 
+def mask_dice_costs_stacked(cfg: AssignerConfig, mask_logits: jax.Array,
+                            gt: GTSample) -> jax.Array:
+    """Weighted mask+dice cost for S stacked problems sharing one GT.
+
+    mask_logits: (S, B, P, h, w) detached; returns (S, B, P, M).  Same
+    values as ``assignment_cost`` (cls/depth terms excluded) computed with
+    ONE (P, M)-producing contraction: the MaskCost negative term expands to
+    ``sum(v) - sum(p v) - sum(t v) + sum(p t v)`` so the pos/neg/dice
+    numerators all reuse the single p·t·v einsum.
+    """
+    p = jax.nn.sigmoid(mask_logits.astype(jnp.float32))
+    t = gt.thing_masks.astype(jnp.float32)  # (B, M, h, w)
+    v = gt.valid_mask.astype(jnp.float32)  # (B, h, w)
+    ptv = jnp.einsum("sbphw,bmhw,bhw->sbpm", p, t, v)  # pos & dice numerator
+    pv = jnp.einsum("sbphw,bhw->sbp", p, v)
+    p2v = jnp.einsum("sbphw,sbphw,bhw->sbp", p, p, v)
+    tv = jnp.einsum("bmhw,bhw->bm", t, v)
+    t2v = jnp.einsum("bmhw,bmhw,bhw->bm", t, t, v)
+    vsum = v.sum(axis=(1, 2))  # (B,)
+    neg = (vsum[None, :, None, None] - pv[..., None]
+           - tv[None, :, None] + ptv)
+    mask_c = -(ptv + neg) / jnp.maximum(vsum, 1.0)[None, :, None, None]
+    dice_c = -(2.0 * ptv) / ((p2v[..., None] + 1e-3)
+                             + (t2v[None, :, None] + 1e-3))
+    return cfg.mask_weight * mask_c + cfg.dice_weight * dice_c
+
+
 class AssignResult(NamedTuple):
     pred2gt: jax.Array  # (P,) int32, index into thing slots, -1 = background
     gt2pred: jax.Array  # (M,) int32, -1 = invalid gt
@@ -149,6 +176,28 @@ def solve_assignment(cost: jax.Array, gt_valid: jax.Array,
         g2p_rounds.append(g2p)
         work = jnp.where((p2g >= 0)[:, None], 1e10, work)
     return AssignResult(pred2gt=pred2gt, gt2pred=jnp.stack(g2p_rounds))
+
+
+def solve_assignments_lockstep(costs: jax.Array, valids: jax.Array,
+                               topk: int = 1) -> AssignResult:
+    """Solve N independent assignment problems in lockstep.
+
+    costs: (N, P, M); valids: (N, M).  Returns AssignResult with (N, ...)
+    leaves.  topk == 1 routes through the batched matcher (one Pallas kernel
+    on TPU, vmapped lax elsewhere — ops/hungarian.py); topk > 1 keeps the
+    vmapped multi-round form.
+    """
+    if topk <= 1:
+        from ..ops.hungarian import (gt2pred_to_assignment,
+                                     match_gt_to_preds_batched)
+
+        g2p = match_gt_to_preds_batched(jnp.swapaxes(costs, 1, 2), valids)
+        p2g = jax.vmap(
+            lambda g: gt2pred_to_assignment(g, costs.shape[1]))(g2p)
+        return AssignResult(pred2gt=p2g, gt2pred=g2p)
+    return jax.vmap(
+        lambda c, v: solve_assignment(c, v, c.shape[0], topk=topk)
+    )(costs, valids)
 
 
 def assign_masks(cfg: AssignerConfig,

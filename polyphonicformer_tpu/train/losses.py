@@ -31,7 +31,8 @@ from ..losses.dice import dice_loss_per_row
 from ..losses.focal import sigmoid_focal_loss_elements
 from ..models.polyphonic import ModelOutput
 from ..ops.resize import resize_bilinear
-from .assign import AssignResult, assignment_cost, solve_assignment
+from .assign import (AssignResult, assignment_cost,
+                     solve_assignments_lockstep)
 from .targets import StageTargets, build_seg_target, build_stage_targets
 
 
@@ -158,8 +159,14 @@ def compute_losses(cfg: ModelConfig, out: ModelOutput, gt: GTSample
     nt, nc = cfg.num_thing_classes, cfg.num_classes
     np_, nq = cfg.num_proposals, cfg.num_queries
 
-    # ---- rpn -----------------------------------------------------------
-    scaled_rpn_masks = _upsample2(out.rpn.mask_preds_things)  # (B, 100, h, w)
+    # ---- one stacked upsample for every mask volume ----------------------
+    # rpn.mask_preds[:, :num_proposals] IS mask_preds_things (kernel_head
+    # concat), so one (1+S, B, nq, h, w) upsample feeds the rpn loss, every
+    # stage loss and every assignment cost.
+    all_masks = jnp.stack([out.rpn.mask_preds]
+                          + [so.mask_preds for so in out.stages])
+    scaled_all_masks = _upsample2(all_masks)  # (1+S, B, nq, 2h, 2w)
+    scaled_rpn_masks = scaled_all_masks[0, :, :np_]  # (B, 100, h, w)
     scaled_seg = _upsample2(jnp.moveaxis(out.rpn.seg_preds, -1, 1))  # (B, 19, h, w)
     scaled_depth0 = _upsample2(out.rpn.depth_pred[:, None])[:, 0]  # (B, h, w)
 
@@ -175,54 +182,82 @@ def compute_losses(cfg: ModelConfig, out: ModelOutput, gt: GTSample
     # stages' upsamples / targets / losses are structurally identical, so
     # one set of (S, ...)-shaped ops replaces S sequences of small ops (the
     # loss side is op-count bound, not bandwidth bound — ROUND3.md).
-    stage_masks = jnp.stack([so.mask_preds for so in out.stages])  # (S,B,Q,h,w)
-    stage_deps = jnp.stack([so.depth_preds for so in out.stages])
+    n_stages = len(out.stages)
     stage_cls = jnp.stack([so.cls_score for so in out.stages])  # (S,B,Q,C)
-    scaled_stage_masks = _upsample2(stage_masks)
+    stage_deps = jnp.stack([so.depth_preds for so in out.stages])
+    scaled_stage_masks = scaled_all_masks[1:]
     scaled_stage_deps = _upsample2(stage_deps)
 
-    cost_list = []  # each (B, P, M)
-    rpn_masks_det = jax.lax.stop_gradient(scaled_rpn_masks)
-    cost_list.append(jax.vmap(
-        lambda m, g: assignment_cost(cfg.rpn_assigner, m, None, g)
-    )(rpn_masks_det, gt))
-
-    det_masks = jax.lax.stop_gradient(scaled_stage_masks)
+    det_all = jax.lax.stop_gradient(scaled_all_masks)
     det_cls = jax.lax.stop_gradient(stage_cls)
-    for stage in range(len(out.stages)):
-        if stage == 0:
-            pm = jax.lax.stop_gradient(
-                _upsample2(out.rpn.mask_preds))[:, :np_]
-            cost_list.append(jax.vmap(
-                lambda m, g: assignment_cost(cfg.rcnn_assigner, m, None, g)
-            )(pm, gt))
-        else:
-            pm = det_masks[stage - 1][:, :np_]
-            pc = det_cls[stage - 1][:, :np_, :nt]
-            cost_list.append(jax.vmap(
-                lambda m, c, g: assignment_cost(cfg.rcnn_assigner, m, c, g)
-            )(pm, pc, gt))
 
-    ns = len(cost_list)  # 1 + num_stages
-    tk_rpn, tk_rcnn = cfg.rpn_assigner.topk, cfg.rcnn_assigner.topk
-    if tk_rpn == tk_rcnn:
-        groups = [(cost_list, tk_rpn)]
-    else:  # mixed topk: two lockstep groups (rpn | rcnn stages)
-        groups = [(cost_list[:1], tk_rpn), (cost_list[1:], tk_rcnn)]
-    assigns = []
-    for group, topk in groups:
-        costs = jnp.stack(group, axis=0)  # (ng, B, P, M)
-        ng = costs.shape[0]
-        flat_costs = costs.reshape((ng * b,) + costs.shape[2:])
-        flat_valid = jnp.tile(gt.thing_valid, (ng, 1))
-        flat_assign = jax.vmap(
-            lambda c, v: solve_assignment(c, v, c.shape[0], topk=topk)
-        )(flat_costs, flat_valid)
+    same_assigner = cfg.rpn_assigner == cfg.rcnn_assigner
+    if same_assigner and cfg.rcnn_assigner.depth_weight == 0:
+        # The rpn assignment and the stage-0 re-assignment are the SAME
+        # problem: both cost matrices come from the detached rpn thing-mask
+        # logits with no cls term (rpn rows [:P] == mask_preds_things), and
+        # the configs match — the reference's two scipy calls on these
+        # produce the same matching (kernel_head.py:349-454 vs
+        # kernel_update.py:208-275).  Solve each distinct problem once,
+        # lockstep, with all mask+dice costs from one stacked contraction.
+        from .assign import focal_cls_cost, mask_dice_costs_stacked
+
+        acfg = cfg.rcnn_assigner
+        costs = mask_dice_costs_stacked(
+            acfg, det_all[:n_stages, :, :np_], gt)  # (S, B, P, M)
+        if acfg.cls_weight != 0 and n_stages > 1:
+            cls_c = jax.vmap(jax.vmap(
+                lambda c, l: focal_cls_cost(c, l, acfg.focal_gamma,
+                                            acfg.focal_alpha)
+            ), in_axes=(0, None))(det_cls[:n_stages - 1, :, :np_, :nt],
+                                  gt.thing_labels)
+            costs = costs.at[1:].add(acfg.cls_weight * cls_c)
+        flat_costs = costs.reshape((n_stages * b,) + costs.shape[2:])
+        flat_valid = jnp.tile(gt.thing_valid, (n_stages, 1))
+        flat_assign = solve_assignments_lockstep(flat_costs, flat_valid,
+                                                 topk=acfg.topk)
         per_problem = jax.tree_util.tree_map(
-            lambda a: a.reshape((ng, b) + a.shape[1:]), flat_assign)
-        assigns += [AssignResult(pred2gt=per_problem.pred2gt[i],
-                                 gt2pred=per_problem.gt2pred[i])
-                    for i in range(ng)]
+            lambda a: a.reshape((n_stages, b) + a.shape[1:]), flat_assign)
+        uniq = [AssignResult(pred2gt=per_problem.pred2gt[i],
+                             gt2pred=per_problem.gt2pred[i])
+                for i in range(n_stages)]
+        assigns = [uniq[0]] + uniq  # rpn shares problem 0 with stage 0
+    else:
+        # general path: every problem its own cost, grouped by topk
+        cost_list = []  # each (B, P, M)
+        cost_list.append(jax.vmap(
+            lambda m, g: assignment_cost(cfg.rpn_assigner, m, None, g)
+        )(det_all[0, :, :np_], gt))
+        for stage in range(n_stages):
+            pm = det_all[stage][:, :np_]
+            if stage == 0:
+                cost_list.append(jax.vmap(
+                    lambda m, g: assignment_cost(cfg.rcnn_assigner, m, None, g)
+                )(pm, gt))
+            else:
+                pc = det_cls[stage - 1][:, :np_, :nt]
+                cost_list.append(jax.vmap(
+                    lambda m, c, g: assignment_cost(cfg.rcnn_assigner, m, c, g)
+                )(pm, pc, gt))
+
+        tk_rpn, tk_rcnn = cfg.rpn_assigner.topk, cfg.rcnn_assigner.topk
+        if tk_rpn == tk_rcnn:
+            groups = [(cost_list, tk_rpn)]
+        else:  # mixed topk: two lockstep groups (rpn | rcnn stages)
+            groups = [(cost_list[:1], tk_rpn), (cost_list[1:], tk_rcnn)]
+        assigns = []
+        for group, topk in groups:
+            costs = jnp.stack(group, axis=0)  # (ng, B, P, M)
+            ng = costs.shape[0]
+            flat_costs = costs.reshape((ng * b,) + costs.shape[2:])
+            flat_valid = jnp.tile(gt.thing_valid, (ng, 1))
+            flat_assign = solve_assignments_lockstep(flat_costs, flat_valid,
+                                                     topk=topk)
+            per_problem = jax.tree_util.tree_map(
+                lambda a: a.reshape((ng, b) + a.shape[1:]), flat_assign)
+            assigns += [AssignResult(pred2gt=per_problem.pred2gt[i],
+                                     gt2pred=per_problem.gt2pred[i])
+                        for i in range(ng)]
 
     rpn_assign = assigns[0]
 

@@ -122,15 +122,23 @@ def video_forward_losses(model: PolyphonicFormer, variables, cfg: ModelConfig,
         # (tests/test_track_boxes.py); the default is re-measured per round
         # (tools_dev/bench_loss_groups.py).
         if os.environ.get("POLY_TRACK_BOXES", "marginal") == "marginal":
-            dummy = jnp.zeros((batch.gt.thing_masks.shape[0],
-                               batch.gt.thing_masks.shape[1], 1, 1),
+            b = batch.gt.thing_masks.shape[0]
+            dummy = jnp.zeros((2 * b, batch.gt.thing_masks.shape[1], 1, 1),
                               jnp.float32)
-            key_embeds = apply(PolyphonicFormer.forward_track_embeds,
-                               key_feats, dummy, batch.gt.thing_valid,
-                               gt_track_boxes(batch.gt, pad_hw))
-            ref_embeds = apply(PolyphonicFormer.forward_track_embeds,
-                               ref_feats, dummy, batch.ref_gt.thing_valid,
-                               gt_track_boxes(batch.ref_gt, pad_hw))
+            # key + ref frames batched through ONE track-head call (the
+            # embed head is per-sample — convs/GN/fcs — so stacking is
+            # exact; it halves the serial op chain vs two applications).
+            # Both GT box sets come from one stacked marginal computation.
+            both_gt = jax.tree_util.tree_map(
+                lambda a, r: jnp.concatenate([a, r], axis=0),
+                batch.gt, batch.ref_gt)
+            pair_feats = jax.tree_util.tree_map(
+                lambda k, r: jnp.concatenate([k, r], axis=0),
+                key_feats, ref_feats)
+            boxes = gt_track_boxes(both_gt, pad_hw)
+            embeds = apply(PolyphonicFormer.forward_track_embeds,
+                           pair_feats, dummy, both_gt.thing_valid, boxes)
+            key_embeds, ref_embeds = embeds[:b], embeds[b:]
         else:
             key_masks = gt_track_masks(batch.gt, pad_hw)
             ref_masks = gt_track_masks(batch.ref_gt, pad_hw)

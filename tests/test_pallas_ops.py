@@ -34,3 +34,33 @@ def test_masked_pool_grads():
     want_gx = jnp.einsum("bnh,bnc->bhc", hard.reshape(1, 5, 32),
                          jnp.ones((1, 5, 16))).reshape(1, 4, 8, 16)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(want_gx), rtol=1e-5)
+
+
+def test_pallas_lsa_matches_scipy_and_lax():
+    """The Pallas JV solver (interpret mode here; compiled on TPU) produces
+    scipy-optimal assignments on batched rectangular problems with invalid
+    rows, matching the lax solver's contract (ops/hungarian.py)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from polyphonicformer_tpu.ops.pallas.lsa import solve_lsa_pallas
+
+    rng = np.random.RandomState(3)
+    n, g, p = 5, 16, 100
+    costs = rng.randn(n, g, p).astype(np.float32) * 7
+    valids = rng.rand(n, g) > 0.4
+    valids[0] = False
+    valids[1] = True
+    got = np.asarray(solve_lsa_pallas(jnp.asarray(costs), jnp.asarray(valids),
+                                      interpret=True))
+    for i in range(n):
+        idx = np.where(valids[i])[0]
+        assert (got[i][~valids[i]] == -1).all()
+        if len(idx) == 0:
+            continue
+        sub = costs[i][idx]
+        rows, cols_ref = linear_sum_assignment(sub)
+        want = sub[rows, cols_ref].sum()
+        cols = got[i][idx]
+        assert len(set(cols.tolist())) == len(idx)
+        total = sub[np.arange(len(idx)), cols].sum()
+        np.testing.assert_allclose(total, want, rtol=1e-5, atol=1e-4)
