@@ -23,6 +23,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 @functools.lru_cache(maxsize=64)
 def _bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
     """(out_size, in_size) interpolation matrix, PyTorch align_corners=False."""
@@ -82,6 +89,32 @@ def _upsample_int_factor_1d(x: jax.Array, factor: int, axis: int) -> jax.Array:
     return jnp.moveaxis(out, -1, axis)
 
 
+def _upsample_int_factor_rows(x: jax.Array, factor: int) -> jax.Array:
+    """``_upsample_int_factor_1d`` specialized to axis=-2, TRANSPOSE-FREE.
+
+    The generic path moves the axis to minor and back — two full relayouts
+    of the volume plus the interleave, which measured ~10x off HBM
+    bandwidth on (4, 1, 111, h, w) training volumes
+    (tools_dev/bench_machinery.py).  Row shifts are cheap concats on the
+    sublane axis and the phase interleave is one (..., H, f, W) ->
+    (..., H*f, W) reshape; arithmetic per output element is identical, so
+    the result is bit-equal.
+    """
+    weights, base = _phase_weights(factor)
+    left = jnp.concatenate([x[..., :1, :], x[..., :-1, :]], axis=-2)
+    right = jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
+    phases = []
+    for p in range(factor):
+        w0, w1 = float(weights[p, 0]), float(weights[p, 1])
+        if base[p] == -1:  # taps (i-1, i)
+            v = jnp.asarray(w0, x.dtype) * left + jnp.asarray(w1, x.dtype) * x
+        else:  # taps (i, i+1)
+            v = jnp.asarray(w0, x.dtype) * x + jnp.asarray(w1, x.dtype) * right
+        phases.append(v)
+    out = jnp.stack(phases, axis=-2)  # (..., H, f, W)
+    return out.reshape(x.shape[:-2] + (x.shape[-2] * factor, x.shape[-1]))
+
+
 def resize_bilinear(x: jax.Array, out_hw: tuple, precise: bool = True) -> jax.Array:
     """Bilinear resize of the last two axes (..., H, W) with torch
     align_corners=False semantics.
@@ -100,9 +133,26 @@ def resize_bilinear(x: jax.Array, out_hw: tuple, precise: bool = True) -> jax.Ar
         return x
     if out_h % in_h == 0 and out_w % in_w == 0 and out_h // in_h <= 8 \
             and out_w // in_w <= 8:
+        import os
+
         dtype = x.dtype
         xf = x.astype(jnp.float32) if precise else x
-        y = _upsample_int_factor_1d(xf, out_h // in_h, -2)
+        impl = os.environ.get("POLY_UPSAMPLE_IMPL", "pallas")
+        if (impl == "pallas" and precise and out_h == 2 * in_h
+                and out_w == 2 * in_w and _on_tpu()):
+            # one-pass VMEM kernel, bit-equal to the phase path below; the
+            # XLA interleaves lower to full-volume relayouts (~10x off
+            # bandwidth — tools_dev/bench_upsample.py)
+            from .pallas.upsample2 import upsample2_pallas
+
+            flat = xf.astype(jnp.float32).reshape((-1, in_h, in_w))
+            y = upsample2_pallas(flat).reshape(
+                x.shape[:-2] + (out_h, out_w))
+            return y.astype(dtype)
+        if impl == "rows":
+            y = _upsample_int_factor_rows(xf, out_h // in_h)
+        else:
+            y = _upsample_int_factor_1d(xf, out_h // in_h, -2)
         y = _upsample_int_factor_1d(y, out_w // in_w, -1)
         return y.astype(dtype)
     dtype = x.dtype

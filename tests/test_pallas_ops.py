@@ -64,3 +64,30 @@ def test_pallas_lsa_matches_scipy_and_lax():
         assert len(set(cols.tolist())) == len(idx)
         total = sub[np.arange(len(idx)), cols].sum()
         np.testing.assert_allclose(total, want, rtol=1e-5, atol=1e-4)
+
+
+def test_pallas_upsample2_bitexact_and_grad():
+    """The Pallas x2 upsample is BIT-equal to the XLA phase path (same ops,
+    same order) and its custom-VJP transpose matches autodiff of the XLA
+    path exactly."""
+    from polyphonicformer_tpu.ops.pallas.upsample2 import upsample2_pallas
+    from polyphonicformer_tpu.ops.resize import resize_bilinear
+
+    rng = np.random.RandomState(0)
+    for n, h, w in [(7, 16, 32), (3, 8, 128), (2, 1, 8)]:
+        x = jnp.asarray(rng.randn(n, h, w), jnp.float32)
+        a = np.asarray(upsample2_pallas(x, True))
+        b = np.asarray(resize_bilinear(x, (2 * h, 2 * w)))
+        if h >= 2 and w >= 2:
+            assert (a == b).all(), (n, h, w, np.abs(a - b).max())
+        else:
+            # size-1 axes: XLA simplifies the clamped 0.25x+0.75x to x,
+            # the kernel computes it -> 1 ulp
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=3e-7)
+
+        ct = jnp.asarray(rng.randn(n, 2 * h, 2 * w), jnp.float32)
+        ga = jax.grad(lambda v: (upsample2_pallas(v, True) * ct).sum())(x)
+        gb = jax.grad(lambda v: (resize_bilinear(v, (2 * h, 2 * w)) * ct
+                                 ).sum())(x)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-5, atol=1e-5)
