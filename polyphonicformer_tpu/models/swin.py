@@ -110,10 +110,15 @@ class WindowAttention(nn.Module):
         hd = c // h
         qkv = _dense(3 * c, "qkv", ("swin_embed", "swin_heads"),
                      self.partition)(x)
-        q, k, v = jnp.split(qkv.reshape(nw, l, 3, h, hd).transpose(2, 0, 3, 1, 4),
-                            3, axis=0)
-        q, k, v = q[0], k[0], v[0]  # (nW, h, L, hd)
-        attn = jnp.einsum("whqd,whkd->whqk", q, k) / np.sqrt(hd)
+        # head split WITHOUT materialized transposes: slice q/k/v from the
+        # channel axis and let the dots carry the (window, head) batch dims
+        # — the explicit (nw,l,3,h,hd)->(3,nw,h,l,hd) transpose was a
+        # full-volume relayout that dominated the stride-4/8 stages
+        # (tools_dev/bench_swin_parts.py)
+        q = qkv[..., :c].reshape(nw, l, h, hd)
+        k = qkv[..., c:2 * c].reshape(nw, l, h, hd)
+        v = qkv[..., 2 * c:].reshape(nw, l, h, hd)
+        attn = jnp.einsum("wqhd,wkhd->whqk", q, k) / np.sqrt(hd)
 
         rpb_init = nn.initializers.truncated_normal(0.02)
         if self.partition:
@@ -131,8 +136,7 @@ class WindowAttention(nn.Module):
                 + mask[None, :, None]
             attn = attn.reshape(nw, h, l, l)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("whqk,whkd->whqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(nw, l, c)
+        out = jnp.einsum("whqk,wkhd->wqhd", attn, v).reshape(nw, l, c)
         return _dense(c, "proj", ("swin_heads", "swin_embed"),
                       self.partition)(out)
 

@@ -18,13 +18,13 @@ H, W = 1024, 2048
 
 
 def timed(name, run, *args):
-    out = run(*args)
-    jax.block_until_ready(out)
+    # NOTE: block_until_ready is a no-op on the relay backend — force a
+    # host read to synchronize
+    _ = float(run(*args))
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = run(*args)
-        jax.block_until_ready(out)
+        _ = float(run(*args))
         ts.append((time.perf_counter() - t0) / REPS)
     print(f"{name:24s} {sorted(ts)[1]*1000:8.2f} ms", flush=True)
 
@@ -53,14 +53,14 @@ def main():
             return c + bump * 1e-9, bump
 
         _, ss = jax.lax.scan(body, x, None, length=REPS)
-        return ss.sum()
+        return ss.astype(jnp.float32).sum()
 
     timed("extract_feat (swin+fpn)", feat_loop, variables, x)
 
     feats = jax.jit(
         lambda v, x: model.apply(v, x, method=PolyphonicFormer.extract_feat)
     )(variables, x)
-    feats = jax.block_until_ready(feats)
+    _ = float(feats[0].sum())
 
     @jax.jit
     def heads_loop(v, feats):
@@ -73,7 +73,7 @@ def main():
             return c2, bump
 
         _, ss = jax.lax.scan(body, feats, None, length=REPS)
-        return ss.sum()
+        return ss.astype(jnp.float32).sum()
 
     timed("forward_heads", heads_loop, variables, feats)
 
@@ -97,7 +97,7 @@ def main():
                 return c + bump * 1e-9, bump
 
             _, ss = jax.lax.scan(body, x, None, length=REPS)
-            return ss.sum()
+            return ss.astype(jnp.float32).sum()
 
         timed(f"swin stages[:{nstages}]", sw_loop, sv, x)
 
