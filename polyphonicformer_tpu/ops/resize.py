@@ -138,17 +138,18 @@ def resize_bilinear(x: jax.Array, out_hw: tuple, precise: bool = True) -> jax.Ar
         dtype = x.dtype
         xf = x.astype(jnp.float32) if precise else x
         impl = os.environ.get("POLY_UPSAMPLE_IMPL", "pallas")
-        if (impl == "pallas" and precise and out_h == 2 * in_h
-                and out_w == 2 * in_w and _on_tpu()):
-            # one-pass VMEM kernel, bit-equal to the phase path below; the
-            # XLA interleaves lower to full-volume relayouts (~10x off
-            # bandwidth — tools_dev/bench_upsample.py)
-            from .pallas.upsample2 import upsample2_pallas
+        if impl == "pallas" and precise and out_h // in_h == out_w // in_w \
+                and _on_tpu():
+            from .pallas.upsample2 import fits_vmem, upsample_int_pallas
 
-            flat = xf.astype(jnp.float32).reshape((-1, in_h, in_w))
-            y = upsample2_pallas(flat).reshape(
-                x.shape[:-2] + (out_h, out_w))
-            return y.astype(dtype)
+            if fits_vmem(in_h, in_w, out_h // in_h):
+                # one-pass VMEM kernel, value-equal to the phase path below;
+                # the XLA interleaves lower to full-volume relayouts (~10x
+                # off bandwidth — tools_dev/bench_upsample.py)
+                flat = xf.astype(jnp.float32).reshape((-1, in_h, in_w))
+                y = upsample_int_pallas(flat, out_h // in_h).reshape(
+                    x.shape[:-2] + (out_h, out_w))
+                return y.astype(dtype)
         if impl == "rows":
             y = _upsample_int_factor_rows(xf, out_h // in_h)
         else:

@@ -91,3 +91,25 @@ def test_pallas_upsample2_bitexact_and_grad():
                                  ).sum())(x)
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_upsample_int_factors():
+    """Generalized integer-factor kernel matches the XLA phase path (x3/x4)
+    including gradients."""
+    from polyphonicformer_tpu.ops.pallas.upsample2 import upsample_int_pallas
+    from polyphonicformer_tpu.ops.resize import resize_bilinear
+
+    rng = np.random.RandomState(1)
+    for f in (3, 4):
+        x = jnp.asarray(rng.randn(3, 8, 16), jnp.float32)
+        a = np.asarray(upsample_int_pallas(x, f, True))
+        b = np.asarray(resize_bilinear(x, (8 * f, 16 * f)))
+        # same math; compilers may differ in FMA contraction for the
+        # non-dyadic phase weights -> ulp-level tolerance
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=5e-7)
+        ct = jnp.asarray(rng.randn(3, 8 * f, 16 * f), jnp.float32)
+        ga = jax.grad(lambda v: (upsample_int_pallas(v, f, True) * ct).sum())(x)
+        gb = jax.grad(
+            lambda v: (resize_bilinear(v, (8 * f, 16 * f)) * ct).sum())(x)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-5, atol=1e-5)
