@@ -96,47 +96,97 @@ def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     return attn.astype(np.float32)
 
 
+def _use_fused_window_attn() -> bool:
+    """Opt-in fused Pallas window attention (POLY_FUSED_WATTN=1 on TPU;
+    =interpret forces the interpreted kernel for CPU tests).  Default OFF:
+    measured SLOWER than the XLA path on v5e (stage-0 Swin-L 30.3 vs
+    27.8 ms — XLA's bulk partition relayouts beat the kernel's in-VMEM
+    transposes + 49x32 MXU tiles; tools_dev/bench_swin_parts.py).  Kept as
+    a tested experimental op; revisit if Mosaic gains bf16 sublane casts
+    (the f32 regroup is half the kernel's deficit)."""
+    import os
+
+    v = os.environ.get("POLY_FUSED_WATTN", "0")
+    if v == "interpret":
+        return True
+    if v != "1":
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _fused_interpret() -> bool:
+    import os
+
+    return os.environ.get("POLY_FUSED_WATTN") == "interpret"
+
+
 class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window_size: int
     partition: bool = False
 
-    @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array | None) -> jax.Array:
-        """x: (nW, L, C) with L = ws*ws; mask: (num_win_types, L, L) or None."""
-        nw, l, c = x.shape
-        h = self.num_heads
-        hd = c // h
-        qkv = _dense(3 * c, "qkv", ("swin_embed", "swin_heads"),
-                     self.partition)(x)
-        # head split WITHOUT materialized transposes: slice q/k/v from the
-        # channel axis and let the dots carry the (window, head) batch dims
-        # — the explicit (nw,l,3,h,hd)->(3,nw,h,l,hd) transpose was a
-        # full-volume relayout that dominated the stride-4/8 stages
-        # (tools_dev/bench_swin_parts.py)
-        q = qkv[..., :c].reshape(nw, l, h, hd)
-        k = qkv[..., c:2 * c].reshape(nw, l, h, hd)
-        v = qkv[..., 2 * c:].reshape(nw, l, h, hd)
-        attn = jnp.einsum("wqhd,wkhd->whqk", q, k) / np.sqrt(hd)
-
+    def _rpb_bias(self, l: int):
         rpb_init = nn.initializers.truncated_normal(0.02)
         if self.partition:
             rpb_init = nn.with_logical_partitioning(
                 rpb_init, ("swin_rpb", "swin_rpb_heads"))
         rpb_table = self.param(
             "relative_position_bias_table", rpb_init,
-            ((2 * self.window_size - 1) ** 2, h))
+            ((2 * self.window_size - 1) ** 2, self.num_heads))
         idx = jnp.asarray(_relative_position_index(self.window_size))
-        bias = rpb_table[idx.reshape(-1)].reshape(l, l, h).transpose(2, 0, 1)
-        attn = attn + bias[None]
-        if mask is not None:
-            ntypes = mask.shape[0]
-            attn = attn.reshape(nw // ntypes, ntypes, h, l, l) \
-                + mask[None, :, None]
-            attn = attn.reshape(nw, h, l, l)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("whqk,wkhd->wqhd", attn, v).reshape(nw, l, c)
+        return rpb_table[idx.reshape(-1)].reshape(
+            l, l, self.num_heads).transpose(2, 0, 1)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array | None,
+                 fused: bool = False) -> jax.Array:
+        """Two layouts over ONE parameter set (qkv / rpb table / proj):
+
+        * fused=False — x: (nW, L, C) with L = ws*ws; mask
+          (num_win_types, L, L) or None (pure-XLA windowed path).
+        * fused=True — x: (B, Hp, Wp, C) image layout, Hp/Wp window
+          multiples; the window regroup + attention run inside
+          ops/pallas/window_attn.py, skipping XLA's partition/unpartition
+          relayouts entirely; mask is the full per-window (nH*nW, L, L).
+        """
+        c = x.shape[-1]
+        h = self.num_heads
+        hd = c // h
+        ws = self.window_size
+        l = ws * ws
+        qkv = _dense(3 * c, "qkv", ("swin_embed", "swin_heads"),
+                     self.partition)(x)
+        bias = self._rpb_bias(l)
+
+        if fused:
+            from ..ops.pallas.window_attn import window_attention_pallas
+
+            out = window_attention_pallas(qkv, bias.astype(jnp.float32),
+                                          mask, h, ws, _fused_interpret())
+        else:
+            nw = x.shape[0]
+            # head split WITHOUT materialized transposes: slice q/k/v from
+            # the channel axis and let the dots carry the (window, head)
+            # batch dims — the explicit (nw,l,3,h,hd)->(3,nw,h,l,hd)
+            # transpose was a full-volume relayout
+            # (tools_dev/bench_swin_parts.py)
+            q = qkv[..., :c].reshape(nw, l, h, hd)
+            k = qkv[..., c:2 * c].reshape(nw, l, h, hd)
+            v = qkv[..., 2 * c:].reshape(nw, l, h, hd)
+            attn = jnp.einsum("wqhd,wkhd->whqk", q, k) / np.sqrt(hd)
+            attn = attn + bias[None]
+            if mask is not None:
+                ntypes = mask.shape[0]
+                attn = attn.reshape(nw // ntypes, ntypes, h, l, l) \
+                    + mask[None, :, None]
+                attn = attn.reshape(nw, h, l, l)
+            attn = jax.nn.softmax(attn.astype(jnp.float32),
+                                  axis=-1).astype(x.dtype)
+            out = jnp.einsum("whqk,wkhd->wqhd", attn, v).reshape(nw, l, c)
         return _dense(c, "proj", ("swin_heads", "swin_embed"),
                       self.partition)(out)
 
@@ -160,16 +210,24 @@ class SwinBlock(nn.Module):
         wp = (w + ws - 1) // ws * ws
         if (hp, wp) != (h, w):
             y = jnp.pad(y, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        # opt-in experimental path (see _use_fused_window_attn); capped at
+        # 12 heads — deeper stages' many blocks x high head counts make the
+        # unrolled kernel expensive to compile
+        fused = (not self.partition) and self.num_heads <= 12 \
+            and _use_fused_window_attn()
         if self.shift > 0:
             y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
             mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, self.shift),
-                               dtype=x.dtype)
+                               dtype=jnp.float32 if fused else x.dtype)
         else:
             mask = None
-        win = window_partition(y, ws)
-        win = WindowAttention(self.dim, self.num_heads, ws,
-                              partition=self.partition, name="attn")(win, mask)
-        y = window_unpartition(win, ws, (hp, wp))
+        attn_mod = WindowAttention(self.dim, self.num_heads, ws,
+                                   partition=self.partition, name="attn")
+        if fused:
+            y = attn_mod(y, mask, fused=True)
+        else:
+            win = attn_mod(window_partition(y, ws), mask)
+            y = window_unpartition(win, ws, (hp, wp))
         if self.shift > 0:
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
         y = y[:, :h, :w]

@@ -43,3 +43,24 @@ def test_swin_backbone_in_full_model():
     out = model.apply(variables, img)
     assert out.stages[-1].mask_preds.shape == (1, cfg.num_queries, 8, 16)
     assert np.isfinite(np.asarray(out.stages[-1].cls_score)).all()
+
+
+def test_fused_window_attention_matches_xla(monkeypatch):
+    """The fused Pallas window-attention path (interpret mode here;
+    compiled on TPU) matches the XLA windowed path through the full Swin
+    backbone, shifted blocks and pad/crop included, on one parameter set."""
+    import os
+
+    from polyphonicformer_tpu.models.swin import SwinTransformer
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 18, 25, 3), jnp.float32)  # forces padding
+    model = SwinTransformer(32, (2, 2), (2, 4))
+    monkeypatch.setenv("POLY_FUSED_WATTN", "0")
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ref = model.apply(variables, x)
+    monkeypatch.setenv("POLY_FUSED_WATTN", "interpret")
+    got = model.apply(variables, x)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
