@@ -290,6 +290,8 @@ def apply_overrides(cfg: Any, overrides: dict) -> Any:
                 value = float(value)
             elif isinstance(old, tuple):
                 elt = type(old[0]) if old else float
-                value = tuple(elt(v) for v in value.split(","))
+                # accept both "a,b" and "(a,b)" / "[a,b]" spellings
+                value = tuple(elt(v) for v in
+                              value.strip("()[] ").split(","))
         cfg = _replace_path(cfg, path, value)
     return cfg

@@ -155,3 +155,22 @@ def test_eval_video_cli(dataset_root, tmp_path, monkeypatch):
     with open(os.path.join(eval_dir, "dvpq.json")) as f:
         results = json.load(f)
     assert "average" in results and np.isfinite(results["average"]["pq"])
+
+
+def test_apply_overrides_scalars_and_tuples():
+    """Dotted-path overrides coerce to the field's type; tuples accept both
+    bare and parenthesized spellings (reference --cfg-options role)."""
+    from polyphonicformer_tpu.configs import apply_overrides, get_preset
+    from polyphonicformer_tpu.tools.train import parse_overrides
+
+    cfg = get_preset("video_r50_1x")
+    out = apply_overrides(cfg, parse_overrides([
+        "data.img_size=(128,256)",
+        "data.ratio_range=1.0,1.5",
+        "schedule.log_interval=7",
+        "model.tracker.init_score_thr=0.9",
+    ]))
+    assert out.data.img_size == (128, 256)
+    assert out.data.ratio_range == (1.0, 1.5)
+    assert out.schedule.log_interval == 7
+    assert abs(out.model.tracker.init_score_thr - 0.9) < 1e-9
