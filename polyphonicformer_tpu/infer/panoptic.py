@@ -25,18 +25,46 @@ from ..ops.resize import resize_bilinear
 
 
 def _use_pallas_fusion() -> bool:
-    """Default ON for TPU backends (opt out with POLY_PALLAS_FUSION=0).
-    Only used for the bf16 serving path; the f32 reference-exact path always
-    takes the XLA implementation."""
+    """Default ON for TPU backends (opt out with POLY_PALLAS_FUSION=0;
+    =interpret forces the interpreted kernels so the WHOLE bf16 serving
+    path is exercisable on CPU in tests).  Only used for the bf16 serving
+    path; the f32 reference-exact path always takes the XLA implementation."""
     import os
 
     flag = os.environ.get("POLY_PALLAS_FUSION", "1")
     if flag == "0":
         return False
+    if flag == "interpret":
+        return True
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
+
+
+def _pallas_interpret() -> bool:
+    import os
+
+    return os.environ.get("POLY_PALLAS_FUSION") == "interpret"
+
+
+def static_n_render(cfg, out_hw, mask_hw, fusion_dtype) -> int | None:
+    """The static render-row count ``fuse_panoptic`` will report for these
+    (cfg, shape, dtype) conditions — use when fuse_panoptic runs under
+    vmap, which would batch-trace the int leaf (infer/pipeline.py)."""
+    import jax.numpy as jnp
+
+    h, w = out_hw
+    hs, ws = mask_hw
+    phased = (h % hs == 0 and w % ws == 0 and 1 <= h // hs <= 8
+              and 1 <= w // ws <= 8)
+    use_kernel = (phased and fusion_dtype != jnp.float32
+                  and _use_pallas_fusion())
+    k = cfg.max_per_img
+    ns = cfg.num_stuff_classes
+    if use_kernel and cfg.fusion_full_things < k:
+        return min((cfg.fusion_full_things + ns + 7) // 8 * 8, k + ns)
+    return None
 
 
 def _shifted(x: jax.Array, dy: int, dx: int) -> jax.Array:
@@ -225,7 +253,8 @@ def fuse_panoptic(cfg: ModelConfig,
         fy, fx = h // hs, w // ws
         pix_arg, depth_pix, row_marg, col_marg, oarea = phase_fusion(
             masks_small, scores, depth_small, fy, fx,
-            n_full=None if n_render is None else n_render)
+            n_full=None if n_render is None else n_render,
+            interpret=_pallas_interpret())
         if row_marg.shape[0] < kk:  # pad pruned rows back (zeros => not kept)
             pad = ((0, kk - row_marg.shape[0]), (0, 0))
             row_marg = jnp.pad(row_marg, pad)

@@ -161,10 +161,12 @@ def video_frame_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
         from ..ops.pallas.map_render import render_maps
 
         nr = kk if pano.n_render is None else pano.n_render
+        from .panoptic import _pallas_interpret
+
         semantic, panoptic, depth, track_map = render_maps(
             pano.pix_arg, pano.depth_pix, pano.depth_basic,
             pano.labels[:nr], pano.seg_ids[:nr], pano.keep[:nr],
-            ids_full[:nr], cfg.num_classes)
+            ids_full[:nr], cfg.num_classes, interpret=_pallas_interpret())
         pano = pano._replace(semantic=semantic, panoptic=panoptic,
                              depth=depth)
     else:
@@ -221,10 +223,13 @@ def batched_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
         ml = resize_bilinear(mask_p, (h8 * 2, w8 * 2))
         dl = resize_bilinear(depth_p, (h8 * 2, w8 * 2))
         d0 = resize_bilinear(depth0[None], (h8 * 2, w8 * 2))[0]
-        return fuse_panoptic(cfg, cls_probs, ml, dl, d0, out_hw,
+        pano = fuse_panoptic(cfg, cls_probs, ml, dl, d0, out_hw,
                              fusion_dtype=fusion_dtype,
                              num_track_masks=cfg.tracker.max_detections,
                              emit_marginals=True, defer_maps=defer)
+        # n_render is a STATIC int — returning it through vmap would batch-
+        # trace it; recomputed below via static_n_render
+        return pano._replace(n_render=None)
 
     pano = jax.vmap(fuse_one)(out.stages[-1].cls_score,
                               out.stages[-1].mask_preds,
@@ -276,11 +281,17 @@ def batched_video_step(model: PolyphonicFormer, cfg: ModelConfig, variables,
     ids_full = jax.vmap(ids_vec)(ids_sorted, order, kept_sorted, thing_keep)
     if defer:
         from ..ops.pallas.map_render import render_maps
+        from .panoptic import static_n_render
 
-        nr = kk if pano.n_render is None else pano.n_render
+        nr_static = static_n_render(cfg, out_hw, (h8 * 2, w8 * 2),
+                                    fusion_dtype)
+        nr = kk if nr_static is None else nr_static
+        from .panoptic import _pallas_interpret
+
         semantic, panoptic, depth, track_map = jax.vmap(
             lambda pix, dp, db, lb, sg, kp, tr: render_maps(
-                pix, dp, db, lb, sg, kp, tr, cfg.num_classes)
+                pix, dp, db, lb, sg, kp, tr, cfg.num_classes,
+                interpret=_pallas_interpret())
         )(pano.pix_arg, pano.depth_pix, pano.depth_basic,
           pano.labels[:, :nr], pano.seg_ids[:, :nr], pano.keep[:, :nr],
           ids_full[:, :nr])
@@ -404,11 +415,13 @@ def make_image_step(model: PolyphonicFormer, cfg: ModelConfig, out_hw,
 
             nr = (pano.seg_ids.shape[0] if pano.n_render is None
                   else pano.n_render)
+            from .panoptic import _pallas_interpret
+
             zeros = jnp.zeros((nr,), pano.seg_ids.dtype)
             semantic, panoptic, depth, _ = render_maps(
                 pano.pix_arg, pano.depth_pix, pano.depth_basic,
                 pano.labels[:nr], pano.seg_ids[:nr], pano.keep[:nr],
-                zeros, cfg.num_classes)
+                zeros, cfg.num_classes, interpret=_pallas_interpret())
             pano = pano._replace(semantic=semantic, panoptic=panoptic,
                                  depth=depth)
         return pano
