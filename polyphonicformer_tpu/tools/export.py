@@ -42,6 +42,43 @@ def _shape_of(tree):
         tree)
 
 
+_SER_REGISTERED = False
+
+
+def _register_export_types() -> None:
+    """Register pytree-serialization for the custom output containers.
+
+    ``jax.export`` serializes the in/out PyTreeDefs; custom node types
+    (our NamedTuple outputs and the flax-struct TrackerState) must be
+    registered on BOTH the export and the load side, so both entry points
+    call this.  Idempotent.
+    """
+    global _SER_REGISTERED
+    if _SER_REGISTERED:
+        return
+    import pickle as _pkl
+
+    from ..infer.panoptic import PanopticResult
+    from ..infer.pipeline import ClipOutput, FrameOutput
+    from ..infer.tracker import TrackerState
+
+    for nt in (PanopticResult, FrameOutput, ClipOutput):
+        try:
+            jax_export.register_namedtuple_serialization(
+                nt, serialized_name=f"polyphonicformer_tpu.{nt.__name__}")
+        except ValueError:
+            pass  # another caller registered it already
+    try:
+        jax_export.register_pytree_node_serialization(
+            TrackerState,
+            serialized_name="polyphonicformer_tpu.TrackerState",
+            serialize_auxdata=_pkl.dumps,
+            deserialize_auxdata=_pkl.loads)
+    except ValueError:
+        pass
+    _SER_REGISTERED = True
+
+
 def build_serving_fn(model, cfg, mode: str, out_hw: Tuple[int, int],
                      bf16: bool = False):
     """The jitted serving callable for ``mode`` (image|frame|clip)."""
@@ -64,6 +101,7 @@ def export_serving(model, cfg, variables, mode: str, out_hw: Tuple[int, int],
     """
     from ..infer.pipeline import init_tracker_state
 
+    _register_export_types()
     h, w = out_hw
     fn = build_serving_fn(model, cfg, mode, out_hw, bf16=bf16)
     var_s = _shape_of(variables)
@@ -92,6 +130,7 @@ def load_serving(path_or_bytes):
     StableHLO); it needs only jax + a backend matching the export platform,
     not this package's model code.
     """
+    _register_export_types()
     blob = path_or_bytes
     if isinstance(blob, str):
         with open(blob, "rb") as f:
