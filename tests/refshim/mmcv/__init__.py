@@ -38,6 +38,20 @@ def concat_list(in_list):
     return list(__import__("itertools").chain(*in_list))
 
 
+def scandir(dir_path, suffix=None, recursive=False):
+    """mmcv.utils.path.scandir slice: non-recursive filename generator
+    (the reference eval uses it to list frame dumps,
+    polyphonic/apis/video_evaluate.py:46,51)."""
+    import os
+
+    assert not recursive, "shim: recursive scandir not needed"
+    for entry in os.scandir(dir_path):
+        if not entry.is_file():
+            continue
+        if suffix is None or entry.name.endswith(suffix):
+            yield entry.name
+
+
 def imread(*a, **k):  # only reachable from show_result paths we never call
     raise NotImplementedError("mmcv shim: imread not implemented")
 

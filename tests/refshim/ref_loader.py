@@ -226,3 +226,27 @@ def load_swin():
     importlib.import_module("mmdet.models.utils.ckpt_convert")
     importlib.import_module("mmdet.models.utils.transformer")
     return importlib.import_module("mmdet.models.backbones.swin")
+
+
+def load_video_evaluate():
+    """Import the REAL reference DVPQ aggregation
+    (/root/reference/polyphonic/apis/video_evaluate.py) through the shim
+    and return that module.  Installs skeletons for the two packages the
+    eval path needs beyond install(): ``datasets`` (for datasets.utils's
+    vpq_eval oracle) and ``polyphonic.apis`` (so only the eval leaf module
+    executes, not video_inference's mmdet.apis chain).  The 128-process
+    pool resolves to the shim's serial pool
+    (refshim/mmcv/utils/progressbar.py) — same call graph and result
+    ordering, no subprocesses."""
+    import importlib
+
+    if REFSHIM_DIR not in sys.path:
+        sys.path.insert(0, REFSHIM_DIR)
+    import mmcv  # noqa: F401
+
+    assert "refshim" in (mmcv.__file__ or "")
+    for name in ("polyphonic", "polyphonic.apis", "datasets"):
+        if name not in sys.modules:
+            _skeleton(name)
+    importlib.import_module("datasets.utils")
+    return importlib.import_module("polyphonic.apis.video_evaluate")

@@ -81,3 +81,105 @@ class TestDepthMetrics:
         assert out[1, 1] == 19 * INSTANCE_DIVISOR
         assert out[0, 0] == 3 * INSTANCE_DIVISOR
         assert (out == pred_pan).sum() == 15
+
+
+class TestDVPQAggregationOracle:
+    """Run the reference's ACTUAL video_evaluate
+    (/root/reference/polyphonic/apis/video_evaluate.py:40-111, loaded via
+    the refshim with a serial track_parallel_progress stand-in) and our
+    evalutils.dvpq.evaluate_dvpq on identical frame dumps, and assert all
+    16 (window k, depth threshold lambda) cells agree.  This was the one
+    reference code path with no executable parity test (round-3 VERDICT)."""
+
+    def _make_dumps(self, tmp_path):
+        import os
+        import sys
+
+        import torch
+
+        from polyphonicformer_tpu.evalutils.dvpq import save_frame
+
+        rng = np.random.RandomState(42)
+        ref_dir = tmp_path / "ref_eval"
+        our_dir = tmp_path / "our_eval"
+        for d in (ref_dir / "pred", ref_dir / "gt"):
+            os.makedirs(d)
+
+        # 2 sequences x {5, 4} frames, block-structured so windows k=2..4
+        # produce real cross-frame segment matches
+        frames = [(0, i) for i in range(5)] + [(7, i) for i in range(4)]
+        for seq_id, img_id in frames:
+            base = random_panoptic(rng, (10, 12))
+            gt = np.kron(base, np.ones((5, 5), np.int64))
+            predb = base.copy()
+            flip = rng.rand(10, 12) < 0.25
+            predb[flip] = random_panoptic(rng, (10, 12), void_frac=0.0)[flip]
+            predb[predb == 255 * INSTANCE_DIVISOR] = 4 * INSTANCE_DIVISOR
+            pred = np.kron(predb, np.ones((5, 5), np.int64))
+
+            gt_depth = (rng.rand(50, 60) * 60 + 1).astype(np.float32)
+            gt_depth[rng.rand(50, 60) < 0.15] = 0.0  # invalid-depth pixels
+            pred_depth = np.clip(
+                gt_depth * (1 + rng.randn(50, 60).astype(np.float32) * 0.3),
+                0.01, None)
+
+            # same dtypes as the reference's pre_eval dumps
+            # (datasets/cityscapes_dvps.py:336-347: uint32 panseg, f32 depth)
+            name = f"{seq_id:06d}_{img_id:06d}.pth"
+            torch.save({"panseg": pred.astype(np.uint32),
+                        "depth": pred_depth},
+                       str(ref_dir / "pred" / name))
+            torch.save({"panseg": gt.astype(np.uint32),
+                        "depth": gt_depth},
+                       str(ref_dir / "gt" / name))
+            save_frame(str(our_dir), "pred", seq_id, img_id, pred, pred_depth)
+            save_frame(str(our_dir), "gt", seq_id, img_id, gt, gt_depth)
+        return str(ref_dir), str(our_dir)
+
+    def test_all_16_cells_match_reference(self, tmp_path, capsys):
+        import os
+        import re
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "refshim"))
+        import ref_loader
+        import torch
+
+        # the reference calls bare torch.load on its numpy-array dumps;
+        # modern torch defaults weights_only=True, so allowlist numpy
+        try:
+            from numpy._core.multiarray import _reconstruct
+        except ImportError:  # numpy < 2
+            from numpy.core.multiarray import _reconstruct
+        torch.serialization.add_safe_globals(
+            [np.ndarray, np.dtype, _reconstruct,
+             np.dtypes.UInt32DType, np.dtypes.Float32DType])
+
+        ref_ve = ref_loader.load_video_evaluate()
+
+        from polyphonicformer_tpu.evalutils.dvpq import evaluate_dvpq
+
+        ref_dir, our_dir = self._make_dumps(tmp_path)
+        ref_ve.video_evaluate(ref_dir, ["DVPQ"], num_classes=19, num_things=8)
+        printed = capsys.readouterr().out
+
+        # parse the reference's per-cell prints in emission order:
+        # "Evaluating DVPQ: k={k}; lambda={l}" then "DVPQ : a ... : b ... : c"
+        headers = re.findall(r"Evaluating DVPQ: k=(\d+); lambda=([\w.]+)",
+                             printed)
+        values = re.findall(
+            r"DVPQ : ([\d.]+) DVPQ_thing : ([\d.]+) DVPQ_stuff : ([\d.]+)",
+            printed)
+        assert len(headers) == 16 and len(values) == 16
+
+        ours = evaluate_dvpq(our_dir, nproc=2)
+        for (k, lam), (pq, th, st) in zip(headers, values):
+            key = f"k{k}_l{lam}"
+            got = ours[key]
+            # reference prints at 3 decimals -> quantization tolerance
+            np.testing.assert_allclose(got["pq"], float(pq), atol=6e-4,
+                                       err_msg=key)
+            np.testing.assert_allclose(got["pq_thing"], float(th), atol=6e-4,
+                                       err_msg=key)
+            np.testing.assert_allclose(got["pq_stuff"], float(st), atol=6e-4,
+                                       err_msg=key)
