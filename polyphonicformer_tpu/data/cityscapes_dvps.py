@@ -245,14 +245,18 @@ class CityscapesDVPSDataset:
             return None
         return key, ref
 
-    def load_frame(self, info: Dict):
-        """Decode one frame's image + GT arrays."""
+    def load_frame(self, info: Dict, segments: bool = True):
+        """Decode one frame's image + GT arrays.  ``segments=False`` skips
+        the per-segment mask decode (eval only needs the raw id map)."""
         img = imread_rgb(info["img"])
         if info.get("ann_inst"):
             pan = load_panoptic_pair(info["ann"], info["ann_inst"])
         else:
             pan = load_panoptic(info["ann"])
         depth = load_depth(info["depth"]) if self.with_depth else None
-        masks, labels, inst_ids = decode_segments(pan)
-        return dict(img=img, pan=pan, depth=depth, masks=masks, labels=labels,
-                    inst_ids=inst_ids, seq_id=info["seq_id"], img_id=info["img_id"])
+        out = dict(img=img, pan=pan, depth=depth,
+                   seq_id=info["seq_id"], img_id=info["img_id"])
+        if segments:
+            masks, labels, inst_ids = decode_segments(pan)
+            out.update(masks=masks, labels=labels, inst_ids=inst_ids)
+        return out

@@ -241,3 +241,130 @@ class MPTrainLoader:
                                  ref_gt=ref_gt)
             else:
                 yield TrainBatch(image=image, gt=gt)
+
+
+# ---------------------------------------------------------------------------
+# Ordered multi-process EVAL decode
+# ---------------------------------------------------------------------------
+
+def _eval_worker_main(wid: int, shm_name: str, slots: int,
+                      specs: List[FieldSpec], ds, dc: DataConfig,
+                      gt_dir: Optional[str], task_q, ready_q) -> None:
+    """Decode eval frames into ring slots, in whatever order tasks arrive.
+
+    Each task is (order, frame_index, slot).  The worker also writes the GT
+    frame dump (reference dataset.pre_eval's gt side,
+    datasets/cityscapes_dvps.py:340-348) so the consumer never touches GT.
+    """
+    from ..evalutils.dvpq import save_frame
+    from .pipeline import make_test_input
+
+    ring = _Ring(specs, slots, create=False, name=shm_name)
+    try:
+        while True:
+            task = task_q.get()
+            if task is None:
+                break
+            order, idx, slot = task
+            info = ds.images[idx]
+            frame = ds.load_frame(info, segments=False)
+            inp = make_test_input(frame, dc)
+            views = ring.views(slot)
+            views["image"][...] = inp["image"]
+            if gt_dir is not None:
+                save_frame(gt_dir, "gt", info["seq_id"], info["img_id"],
+                           frame["pan"], frame["depth"])
+            ready_q.put((order, slot))
+    finally:
+        ring.close()
+
+
+class MPEvalLoader:
+    """Deterministic-order eval frame decoder over worker processes.
+
+    Yields (info, image[(ph, pw, 3) float32]) in exactly the order of
+    ``frame_infos``; decode runs ahead on ``num_workers`` processes through
+    a shared-memory ring (the reference's analog is the torch DataLoader
+    worker pool feeding test.py, mmdet/datasets/builder.py:86-190).
+    """
+
+    def __init__(self, dataset, frame_infos, data_cfg: DataConfig,
+                 padded_hw: Tuple[int, int], num_workers: int = 4,
+                 gt_dir: Optional[str] = None):
+        self.ds = dataset
+        self.dc = data_cfg
+        self.infos = list(frame_infos)
+        # indices into ds.images (ring tasks carry indices, not dicts)
+        by_key = {(f["seq_id"], f["img_id"]): i
+                  for i, f in enumerate(dataset.images)}
+        self.indices = [by_key[(f["seq_id"], f["img_id"])] for f in self.infos]
+        ph, pw = padded_hw
+        self.specs = [FieldSpec("image", (ph, pw, 3), "float32")]
+        self.num_workers = max(1, num_workers)
+        self.slots = 2 * self.num_workers
+        self.gt_dir = gt_dir
+        self._procs: List[mp.process.BaseProcess] = []
+        self._ring: Optional[_Ring] = None
+
+    def __enter__(self) -> "MPEvalLoader":
+        ctx = mp.get_context("spawn")
+        self._ring = _Ring(self.specs, self.slots, create=True)
+        self._task_q = ctx.Queue()
+        self._ready_q = ctx.Queue()
+        for wid in range(self.num_workers):
+            p = ctx.Process(
+                target=_eval_worker_main,
+                args=(wid, self._ring.shm.name, self.slots, self.specs,
+                      self.ds, self.dc, self.gt_dir, self._task_q,
+                      self._ready_q),
+                daemon=True)
+            p.start()
+            self._procs.append(p)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for _ in self._procs:
+            try:
+                self._task_q.put(None)
+            except Exception:
+                pass
+        for p in self._procs:
+            p.join(timeout=5)
+            if p.is_alive():
+                p.terminate()
+        self._procs = []
+        if self._ring is not None:
+            self._ring.close(unlink=True)
+            self._ring = None
+
+    def _get_ready(self):
+        idle = 0
+        while True:
+            try:
+                return self._ready_q.get(timeout=10)
+            except queue_mod.Empty:
+                idle += 1
+                dead = [p.exitcode for p in self._procs if not p.is_alive()]
+                if dead and (len(dead) == len(self._procs) or idle >= 3):
+                    raise RuntimeError(
+                        f"{len(dead)}/{len(self._procs)} eval decode workers "
+                        f"died (exitcodes {dead}); check worker stderr")
+
+    def __iter__(self):
+        n = len(self.indices)
+        next_task = 0
+        # seed every slot with a task
+        for slot in range(min(self.slots, n)):
+            self._task_q.put((next_task, self.indices[next_task], slot))
+            next_task += 1
+        stash = {}
+        for expect in range(n):
+            while expect not in stash:
+                order, slot = self._get_ready()
+                stash[order] = slot
+            slot = stash.pop(expect)
+            image = np.array(self._ring.views(slot)["image"], copy=True)
+            if next_task < n:
+                self._task_q.put((next_task, self.indices[next_task], slot))
+                next_task += 1
+            yield self.infos[expect], image

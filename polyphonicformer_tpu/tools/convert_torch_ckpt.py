@@ -377,6 +377,24 @@ def self_test(backbone: str = "resnet50") -> None:
           f"{len(mapping)} parameters mapped bijectively")
 
 
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a real torch.save checkpoint file -> numpy state dict.
+
+    The reference's published checkpoints wrap the weights as
+    {'state_dict': ..., 'meta': {...}} (mmcv CheckpointHook).  Newer torch
+    defaults to weights_only=True, which rejects the meta payload — fall
+    back to a full unpickle for these trusted, user-supplied files."""
+    import torch
+
+    try:
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+    sd = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
+    return {k: np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
+            for k, v in sd.items()}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", help="path to reference .pth checkpoint")
@@ -390,13 +408,9 @@ def main() -> None:
         self_test("resnet50")
         self_test("swin_tiny")
         return
-    import torch
-
     from ..configs import ModelConfig
 
-    raw = torch.load(args.ckpt, map_location="cpu")
-    sd = raw.get("state_dict", raw)
-    sd = {k: v.numpy() for k, v in sd.items()}
+    sd = load_torch_state_dict(args.ckpt)
     cfg = ModelConfig(with_track=args.video, backbone=args.backbone)
     variables = convert_state_dict(sd, cfg)
     with open(args.out, "wb") as f:

@@ -30,6 +30,13 @@ def main() -> None:
     ap.add_argument("--eval-dir", default="work_dirs/video_eval")
     ap.add_argument("--nproc", type=int, default=8)
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--clip-len", type=int, default=6,
+                    help="frames per device dispatch (lax.scan clip mode; "
+                    "6 = one Cityscapes-DVPS val sequence). 1 = per-frame "
+                    "streaming dispatch")
+    ap.add_argument("--workers", type=int, default=4,
+                    help="PNG-decode worker processes (shared-memory ring; "
+                    "reference analog: mmdet dataloader workers)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute + Pallas fusion fast path (2.8x; maps "
                     "differ from f32 only on argmax-boundary pixels)")
@@ -105,9 +112,10 @@ def run_inference(args) -> None:
     import jax.numpy as jnp
 
     from ..data.cityscapes_dvps import CityscapesDVPSDataset, INSTANCE_DIVISOR
+    from ..data.mp_loader import MPEvalLoader
     from ..data.pipeline import make_test_input
     from ..evalutils.dvpq import save_frame
-    from ..infer.pipeline import make_video_step
+    from ..infer.pipeline import make_clip_step, make_video_step
     from ..infer.tracker import init_tracker_state
     from ..models import PolyphonicFormer
 
@@ -145,63 +153,103 @@ def run_inference(args) -> None:
         frames = [f for f in frames
                   if f["seq_id"] % args.num_shards == args.shard_id]
 
-    # Pipelined loop: the next frame decodes on a worker thread and the
-    # previous frame's outputs are written while the device computes (JAX
-    # dispatch is async; only np.asarray blocks).  The tracker-state chain
-    # forces sequential steps but not sequential host IO.
+    if not frames:
+        return
+
+    # Pipelined loop: PNG triplets decode on worker PROCESSES through a
+    # shared-memory ring (workers also write the GT dumps), the device runs
+    # clip-mode inference (lax.scan over --clip-len frames per dispatch,
+    # amortizing the dispatch floor), and pred dumps compress on a thread
+    # pool while the next clip computes.  The tracker-state chain forces
+    # sequential device steps but not sequential host IO.
     total_overflow = 0
 
-    def save_outputs(info, frame, fo) -> None:
-        nonlocal total_overflow
-        sem = np.asarray(fo.semantic).astype(np.int64)
-        track = np.asarray(fo.track_map).astype(np.int64)
-        depth = np.asarray(fo.depth)
+    # probe one frame for static shapes (val images share one size)
+    probe = make_test_input(ds.load_frame(frames[0], segments=False), dc)
+    ori_hw = probe["ori_hw"]
+    padded_hw = probe["image"].shape[:2]
+    t_clip = max(1, args.clip_len)
+
+    def save_pred(info, sem_dev, track_dev, depth_dev, ovf_dev):
+        sem = np.asarray(sem_dev).astype(np.int64)
+        track = np.asarray(track_dev).astype(np.int64)
         pred_pan = sem * INSTANCE_DIVISOR + track
         save_frame(args.eval_dir, "pred", info["seq_id"], info["img_id"],
-                   pred_pan, depth)
-        save_frame(args.eval_dir, "gt", info["seq_id"], info["img_id"],
-                   frame["pan"], frame["depth"])
-        ovf = int(fo.track_overflow)
-        total_overflow += ovf
+                   pred_pan, np.asarray(depth_dev))
+        ovf = int(ovf_dev)
         msg = f"frame {info['seq_id']:06d}_{info['img_id']:06d} done"
         if ovf:
             msg += (f"  WARNING: {ovf} kept thing segment(s) beyond tracker "
                     f"capacity ({cfg.tracker.max_detections}) dropped to id 0")
-        print(msg, flush=True)
+        return msg, ovf
 
-    def load(info):
-        frame = ds.load_frame(info)
-        return info, frame, make_test_input(frame, dc)
+    if t_clip == 1:
+        step = make_video_step(model, cfg, ori_hw, compute_dtype=dtype,
+                               fusion_dtype=dtype)
+    else:
+        step = make_clip_step(model, cfg, ori_hw, compute_dtype=dtype,
+                              fusion_dtype=dtype)
 
-    step = None
-    state = init_tracker_state(cfg.tracker, cfg.track_head.embed_channels)
+    def fresh_state():
+        return init_tracker_state(cfg.tracker, cfg.track_head.embed_channels)
+
+    loader = MPEvalLoader(ds, frames, dc, padded_hw,
+                          num_workers=args.workers, gt_dir=args.eval_dir)
+    state = fresh_state()
     prev_seq = None
-    frame_counter = 0
-    pending = None  # (info, frame, fo) whose device outputs are in flight
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(load, frames[0]) if frames else None
-        for i in range(len(frames)):
-            info, frame, inp = fut.result()
-            if i + 1 < len(frames):
-                fut = pool.submit(load, frames[i + 1])
-            if step is None:
-                step = make_video_step(model, cfg, inp["ori_hw"],
-                                       compute_dtype=dtype,
-                                       fusion_dtype=dtype)
+    frames_in_seq = 0
+    clip_infos: list = []
+    clip_images: list = []
+    saves: list = []
+
+    def flush_clip(pool) -> None:
+        """Dispatch the buffered clip and queue its per-frame pred writes."""
+        nonlocal state
+        if not clip_infos:
+            return
+        n_real = len(clip_infos)
+        imgs = clip_images[:]
+        while len(imgs) < t_clip:  # tail chunk: pad by repeating the last
+            imgs.append(imgs[-1])  # frame; padded outputs are discarded
+        first_id = jnp.int32(frames_in_seq - n_real + 1)
+        if t_clip == 1:
+            fo, state = step(variables, jnp.asarray(imgs[0])[None], state,
+                             first_id)
+            saves.append(pool.submit(save_pred, clip_infos[0], fo.semantic,
+                                     fo.track_map, fo.depth,
+                                     fo.track_overflow))
+        else:
+            co, state = step(variables, jnp.asarray(np.stack(imgs)), state,
+                             first_id)
+            for j in range(n_real):
+                saves.append(pool.submit(save_pred, clip_infos[j],
+                                         co.semantic[j], co.track_map[j],
+                                         co.depth[j], co.track_overflow[j]))
+        clip_infos.clear()
+        clip_images.clear()
+
+    with loader, ThreadPoolExecutor(max_workers=4) as pool:
+        for info, image in loader:
             if info["seq_id"] != prev_seq:
                 # tracker reset at sequence start (video_inference.py:24-25)
-                state = init_tracker_state(cfg.tracker,
-                                           cfg.track_head.embed_channels)
-                frame_counter = 1
+                flush_clip(pool)
+                state = fresh_state()
                 prev_seq = info["seq_id"]
-            fo, state = step(variables, jnp.asarray(inp["image"])[None],
-                             state, jnp.int32(frame_counter))
-            frame_counter += 1
-            if pending is not None:
-                save_outputs(*pending)
-            pending = (info, frame, fo)
-    if pending is not None:
-        save_outputs(*pending)
+                frames_in_seq = 0
+            clip_infos.append(info)
+            clip_images.append(image)
+            frames_in_seq += 1
+            if len(clip_infos) == t_clip:
+                flush_clip(pool)
+            while saves and saves[0].done():
+                msg, ovf = saves.pop(0).result()
+                total_overflow += ovf
+                print(msg, flush=True)
+        flush_clip(pool)
+        for fut in saves:
+            msg, ovf = fut.result()
+            total_overflow += ovf
+            print(msg, flush=True)
     if total_overflow:
         print(f"tracker capacity overflow total: {total_overflow} segments "
               f"(raise tracker.max_detections)", flush=True)

@@ -124,9 +124,12 @@ def test_mp_loader(dataset_root):
 
 
 def test_eval_video_cli(dataset_root, tmp_path, monkeypatch):
-    """The video eval CLI end to end: synthetic val split -> pipelined
-    streaming inference (prefetch thread + deferred host writes) -> DVPQ
-    aggregation (reference: tools/test_video.py)."""
+    """The video eval CLI end to end: synthetic val split -> multi-process
+    PNG decode (shared-memory ring) -> clip-mode inference -> DVPQ
+    aggregation (reference: tools/test_video.py); and the --clip-len 1
+    streaming dispatch path produces IDENTICAL frame dumps (clip mode is a
+    lax.scan over the same frame step)."""
+    import json
     import pickle
     import sys
 
@@ -134,8 +137,8 @@ def test_eval_video_cli(dataset_root, tmp_path, monkeypatch):
     from polyphonicformer_tpu.models import PolyphonicFormer
     from polyphonicformer_tpu.tools import eval_video
 
-    write_synthetic_dataset(dataset_root, split="val", num_seqs=1,
-                            frames_per_seq=2)
+    write_synthetic_dataset(dataset_root, split="val", num_seqs=2,
+                            frames_per_seq=3)
     cfg = get_preset("debug_tiny_video")
     model = PolyphonicFormer(cfg.model)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)),
@@ -144,17 +147,42 @@ def test_eval_video_cli(dataset_root, tmp_path, monkeypatch):
     with open(ckpt, "wb") as f:
         pickle.dump(jax.tree_util.tree_map(np.asarray, variables), f)
 
+    # clip mode (default --clip-len 6 covers the padded-tail path: 3-frame
+    # sequences -> one clip each with 3 padded frames discarded)
     eval_dir = str(tmp_path / "eval")
     monkeypatch.setattr(sys, "argv", [
         "eval_video", "--data-root", dataset_root, "--split", "val",
         "--checkpoint", str(ckpt), "--preset", "debug_tiny_video",
-        "--eval-dir", eval_dir, "--nproc", "1"])
+        "--eval-dir", eval_dir, "--nproc", "1", "--workers", "2"])
     eval_video.main()
-    import json
 
     with open(os.path.join(eval_dir, "dvpq.json")) as f:
         results = json.load(f)
     assert "average" in results and np.isfinite(results["average"]["pq"])
+
+    # streaming mode: per-frame dispatch, same outputs frame for frame
+    stream_dir = str(tmp_path / "eval_stream")
+    monkeypatch.setattr(sys, "argv", [
+        "eval_video", "--data-root", dataset_root, "--split", "val",
+        "--checkpoint", str(ckpt), "--preset", "debug_tiny_video",
+        "--eval-dir", stream_dir, "--nproc", "1", "--workers", "1",
+        "--clip-len", "1", "--skip-aggregate"])
+    eval_video.main()
+
+    from polyphonicformer_tpu.evalutils.dvpq import list_frames
+
+    for kind in ("pred", "gt"):
+        a_paths = list_frames(eval_dir, kind)
+        b_paths = list_frames(stream_dir, kind)
+        assert [os.path.basename(p) for p in a_paths] == \
+               [os.path.basename(p) for p in b_paths]
+        for ap, bp in zip(a_paths, b_paths):
+            a, b = np.load(ap), np.load(bp)
+            np.testing.assert_array_equal(a["panseg"], b["panseg"], err_msg=ap)
+            # scan vs per-frame dispatch compile to different XLA fusions;
+            # depth agrees to float-ulp level, not bit-exactly
+            np.testing.assert_allclose(a["depth"], b["depth"], atol=1e-4,
+                                       rtol=1e-5, err_msg=ap)
 
 
 def test_apply_overrides_scalars_and_tuples():

@@ -435,3 +435,40 @@ def test_panoptic_parity(ref_side, our_side):
     for a, b in zip(ours_info, ref_info):
         assert a["id"] == b["id"] and a["isthing"] == b["isthing"]
         assert a["category_id"] == b["category_id"]
+
+def test_parity_check_converts_real_torch_save_file(ref_side, tmp_path):
+    """The parity runbook's convert stage ingests a REAL torch.save file
+    (mmcv CheckpointHook layout: {'state_dict':..., 'meta':...}) — the
+    exact artifact shape of the published checkpoints
+    (/root/reference/README.md:76,86) — and produces variables identical
+    to the in-memory conversion used by the activation-parity tests."""
+    import pickle
+
+    import jax
+    import torch
+
+    from polyphonicformer_tpu.configs import ModelConfig
+    from polyphonicformer_tpu.tools.convert_torch_ckpt import \
+        convert_state_dict
+    from polyphonicformer_tpu.tools.parity_check import convert_checkpoint
+
+    sd_t = {k: torch.from_numpy(np.asarray(v))
+            for k, v in ref_side["state_dict"].items()}
+    pth = tmp_path / "polyphonic_r50_image.pth"
+    torch.save({"state_dict": sd_t,
+                "meta": {"mmdet_version": "2.20.0",
+                         "CLASSES": ("person", "rider")}}, str(pth))
+
+    out_pkl = str(tmp_path / "image_vars.pkl")
+    convert_checkpoint(str(pth), out_pkl, video=False)
+    with open(out_pkl, "rb") as f:
+        from_file = pickle.load(f)
+
+    want = convert_state_dict(ref_side["state_dict"], ModelConfig())
+    flat_a = jax.tree_util.tree_leaves_with_path(from_file)
+    flat_b = jax.tree_util.tree_leaves_with_path(want)
+    assert len(flat_a) == len(flat_b)
+    for (pa, a), (pb, b) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
