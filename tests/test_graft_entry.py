@@ -76,3 +76,7 @@ def test_dryrun_multichip_survives_polluted_parent_env():
         stderr=subprocess.STDOUT, text=True, timeout=1700)
     assert proc.returncode == 0, proc.stdout[-4000:]
     assert "dryrun_multichip(8) ok" in proc.stdout, proc.stdout[-4000:]
+    assert "dryrun data-parallel serving ok" in proc.stdout, \
+        proc.stdout[-4000:]
+    assert "dryrun tensor-parallel swin ok" in proc.stdout, \
+        proc.stdout[-4000:]
