@@ -45,7 +45,9 @@ def main() -> None:
     ap.add_argument("--eval-every-epochs", type=int, default=1,
                     help="run PQ/depth eval on the val split every N epochs "
                          "(0 disables; reference EvalHook interval 1)")
-    ap.add_argument("--eval-max-images", type=int, default=50)
+    ap.add_argument("--eval-max-images", type=int, default=50,
+                    help="0 = the FULL val split, sharded across hosts "
+                         "(reference EvalHook fidelity)")
     ap.add_argument("--set", nargs="*", dest="overrides",
                     help="dotted-path config overrides key=value")
     args = ap.parse_args()
@@ -125,15 +127,18 @@ def main() -> None:
         if rank == 0 else None
 
     # periodic eval during training (reference EvalHook,
-    # mmdet/apis/train.py:183-204); disabled automatically when no val split
-    # (rank 0 only, like mmdet's EvalHook gathering to rank 0)
+    # mmdet/apis/train.py:183-204); disabled automatically when no val split.
+    # All hosts participate (each evaluates frames[rank::world], stats
+    # allgather — mmdet multi_gpu_test + collect_results_cpu analogue);
+    # rank 0 prints/logs.
     eval_hook = None
-    if args.eval_every_epochs > 0 and rank == 0:
+    if args.eval_every_epochs > 0:
         from ..evalutils.runner import make_eval_hook
 
         eval_hook = make_eval_hook(
             cfg, lambda: {"params": state.params, **state.consts},
-            max_images=args.eval_max_images)
+            max_images=args.eval_max_images,
+            sharded=jax.process_count() > 1)
     eval_every = steps_per_epoch * max(args.eval_every_epochs, 1)
 
     import time

@@ -183,3 +183,37 @@ class TestDVPQAggregationOracle:
                                        err_msg=key)
             np.testing.assert_allclose(got["pq_stuff"], float(st), atol=6e-4,
                                        err_msg=key)
+
+
+def test_metrics_from_stats_matches_evaluate_image():
+    """The per-frame stat decomposition used by the sharded EvalHook must
+    reproduce evaluate_image exactly (same vpq accumulation + per-frame
+    depth means)."""
+    from polyphonicformer_tpu.evalutils.dvpq import evaluate_image
+    from polyphonicformer_tpu.evalutils.runner import (frame_stats,
+                                                       metrics_from_stats)
+
+    rng = np.random.RandomState(3)
+    preds, gts, pds, gds = [], [], [], []
+    for _ in range(4):
+        base = random_panoptic(rng, (12, 16))
+        gt = np.kron(base, np.ones((4, 4), np.int64))
+        pb = base.copy()
+        flip = rng.rand(12, 16) < 0.25
+        pb[flip] = random_panoptic(rng, (12, 16), void_frac=0.0)[flip]
+        pb[pb == 255 * INSTANCE_DIVISOR] = 2 * INSTANCE_DIVISOR
+        preds.append(np.kron(pb, np.ones((4, 4), np.int64)))
+        gts.append(gt)
+        gd = (rng.rand(48, 64) * 60 + 1).astype(np.float32)
+        gd[rng.rand(48, 64) < 0.1] = 0.0
+        gds.append(gd)
+        pds.append(np.clip(gd * (1 + 0.2 * rng.randn(48, 64)), 0.01,
+                           None).astype(np.float32))
+
+    want = evaluate_image(preds, gts, pds, gds)
+    stats = [frame_stats(p, g, dp, dg)
+             for p, g, dp, dg in zip(preds, gts, pds, gds)]
+    got = metrics_from_stats(np.stack([s[0] for s in stats]),
+                             np.stack([s[1] for s in stats]))
+    for k, v in want.items():
+        np.testing.assert_allclose(got[k], v, rtol=1e-12, err_msg=k)

@@ -34,3 +34,9 @@ def test_two_process_train_step(tmp_path):
     assert len(losses) == 2, lines
     # both ranks must agree on the replicated global loss
     assert losses[0] == losses[1], losses
+    # sharded EvalHook stats: each rank evaluated a shard, allgather must
+    # produce identical full-split metrics on both
+    evals = [ln.split("sharded eval stats ok: ")[1]
+             for ln in lines.splitlines() if "sharded eval stats ok" in ln]
+    assert len(evals) == 2, lines
+    assert evals[0] == evals[1], evals
