@@ -52,6 +52,72 @@ def _skip_groups() -> frozenset:
     return frozenset(x for x in v.split(",") if x)
 
 
+def _use_fused_mask_loss(skip: frozenset, shape) -> bool:
+    """Gate for the single-pass Pallas loss-reduction kernel
+    (POLY_MASK_LOSS_IMPL=mega on TPU; =interpret for tests).  Default OFF:
+    isolated, the fused pass beats the XLA reductions 81 vs 126 ms at
+    production scale, but inside the full train step the numbers are
+    indistinguishable (162.9 xla / 165.4 mega / 168.5 xla,
+    tools_dev/bench_loss_impls.py) — XLA already overlaps these reductions
+    with the rest of the backward schedule, so removing their HBM passes
+    buys no wall-clock.  Kept as a tested opt-in; the negative result is
+    recorded in ROUND4.md."""
+    import os
+
+    from ..ops.pallas.mask_loss import fits_vmem
+    from ..ops.resize import _on_tpu
+
+    impl = os.environ.get("POLY_MASK_LOSS_IMPL", "xla")
+    if impl == "xla" or (skip & {"mask", "dice", "rank"}):
+        return False
+    s, b, q, h, w = shape
+    if not fits_vmem(q, h, w) or h % 8 != 0:
+        return False
+    return _on_tpu() or impl == "interpret"
+
+
+def _fused_mask_dice_rank(cfg: ModelConfig, m32, tgt, pos, valid,
+                          rank_target, num_rows: int, prefixes,
+                          losses: Dict[str, jax.Array]) -> None:
+    """Mask BCE + dice + rank via ops/pallas/mask_loss.py — one VMEM pass
+    forward, one backward; values identical to the XLA path
+    (tests/test_pallas_ops.py::TestFusedMaskLoss)."""
+    import os
+
+    from ..ops.pallas.mask_loss import fused_mask_loss_stats
+
+    interpret = os.environ.get("POLY_MASK_LOSS_IMPL", "mega") == "interpret"
+    s, b, q, h, w = m32.shape
+    sg = jax.lax.stop_gradient
+    stats, dice_abc = fused_mask_loss_stats(
+        m32.reshape(s * b, q, h, w),
+        sg(tgt.astype(jnp.float32)).reshape(s * b, q, h, w),
+        sg(pos).reshape(s * b, q),
+        sg(jnp.broadcast_to(valid[None].astype(jnp.float32),
+                            (s, b, h, w))).reshape(s * b, h, w),
+        sg(rank_target).reshape(s * b, h, w),
+        interpret)
+    stats = stats.reshape(s, b, -1)
+    dice_abc = dice_abc.reshape(s, b, 3, q)
+
+    denom = jnp.maximum(
+        jnp.einsum("sbq,b->s", pos, valid.astype(jnp.float32).sum(axis=(1, 2))), 1.0)
+    mask_vec = cfg.loss_mask_weight * stats[..., 0].sum(axis=1) / denom
+
+    a, bb, cc = (dice_abc[:, :, 0], dice_abc[:, :, 1] + 1e-3,
+                 dice_abc[:, :, 2] + 1e-3)
+    dice = 1.0 - 2.0 * a / (bb + cc)  # (S, B, Q)
+    num_pos = jnp.maximum(pos.sum(axis=(1, 2)), 1.0)
+    dice_vec = cfg.loss_dice_weight * (dice * pos).sum(axis=(1, 2)) / num_pos
+
+    rank_vec = cfg.loss_rank_weight * stats[..., 1].sum(axis=1) / (b * h * w)
+
+    for i, p in enumerate(prefixes):
+        losses[f"{p}_mask"] = mask_vec[i]
+        losses[f"{p}_dice"] = dice_vec[i]
+        losses[f"{p}_rank"] = rank_vec[i]
+
+
 def _mask_dice_rank_losses_stacked(cfg: ModelConfig, mask_logits: jax.Array,
                                    targets: StageTargets, gt: GTSample,
                                    num_rows: int, prefixes,
@@ -73,6 +139,12 @@ def _mask_dice_rank_losses_stacked(cfg: ModelConfig, mask_logits: jax.Array,
     s = mask_logits.shape[0]
 
     m32 = mask_logits.astype(jnp.float32)
+
+    if _use_fused_mask_loss(skip, m32.shape):
+        _fused_mask_dice_rank(cfg, m32, tgt, pos, valid,
+                              targets.rank_target, num_rows, prefixes,
+                              losses)
+        return
 
     if "mask" not in skip:
         bce = binary_cross_entropy_with_logits(m32, tgt)

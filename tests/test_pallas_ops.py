@@ -113,3 +113,138 @@ def test_pallas_upsample_int_factors():
             lambda v: (resize_bilinear(v, (8 * f, 16 * f)) * ct).sum())(x)
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestFusedMaskLoss:
+    """ops/pallas/mask_loss.py vs a plain-jnp reference of the three loss
+    reductions (mmdet BCE / dice eps=1e-3 / rank softmax-CE semantics)."""
+
+    def _ref(self, m, t, pos, v, lbl):
+        bce = (jnp.maximum(m, 0.0) - m * t + jnp.log1p(jnp.exp(-jnp.abs(m))))
+        bce_s = jnp.einsum("nqhw,nq,nhw->n", bce, pos, v)
+        sig = jax.nn.sigmoid(m)
+        a = jnp.einsum("nqhw,nqhw,nhw->nq", sig, t, v)
+        b = jnp.einsum("nqhw,nqhw,nhw->nq", sig, sig, v)
+        c = jnp.einsum("nqhw,nqhw,nhw->nq", t, t, v)
+        q = m.shape[1]
+        rvalid = (lbl >= 0) & (lbl < q) & (lbl != 255)
+        safe = jnp.where(rvalid, lbl, 0)
+        logp = jax.nn.log_softmax(m, axis=1)
+        nll = -jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
+        rank_s = jnp.where(rvalid, nll, 0.0).sum(axis=(1, 2))
+        return bce_s, rank_s, a, b, c
+
+    def _inputs(self, seed=0, n=2, q=7, h=16, w=128):
+        rng = np.random.RandomState(seed)
+        m = jnp.asarray(rng.randn(n, q, h, w).astype(np.float32) * 3)
+        t = jnp.asarray((rng.rand(n, q, h, w) < 0.3).astype(np.float32))
+        pos = jnp.asarray((rng.rand(n, q) < 0.5).astype(np.float32))
+        v = jnp.asarray((rng.rand(n, h, w) < 0.9).astype(np.float32))
+        lbl = rng.randint(-1, q + 2, (n, h, w))
+        lbl[rng.rand(n, h, w) < 0.2] = 255
+        return m, t, pos, v, jnp.asarray(lbl.astype(np.int32))
+
+    def test_forward_matches_reference(self):
+        from polyphonicformer_tpu.ops.pallas.mask_loss import (
+            fused_mask_loss_stats)
+
+        m, t, pos, v, lbl = self._inputs()
+        stats, dice = fused_mask_loss_stats(m, t, pos, v, lbl, True)
+        bce_s, rank_s, a, b, c = self._ref(m, t, pos, v, lbl)
+        np.testing.assert_allclose(stats[:, 0], bce_s, rtol=2e-5, atol=1e-4)
+        np.testing.assert_allclose(stats[:, 1], rank_s, rtol=2e-5, atol=1e-4)
+        np.testing.assert_allclose(dice[:, 0], a, rtol=2e-5, atol=1e-4)
+        np.testing.assert_allclose(dice[:, 1], b, rtol=2e-5, atol=1e-4)
+        np.testing.assert_allclose(dice[:, 2], c, rtol=2e-5, atol=1e-4)
+
+    def test_grads_match_reference(self):
+        from polyphonicformer_tpu.ops.pallas.mask_loss import (
+            fused_mask_loss_stats)
+
+        m, t, pos, v, lbl = self._inputs(seed=3, n=1, q=5, h=8, w=128)
+        rng = np.random.RandomState(4)
+        ws = jnp.asarray(rng.randn(2).astype(np.float32))
+        wd = jnp.asarray(rng.randn(3, 5).astype(np.float32))
+
+        def fused(mm):
+            stats, dice = fused_mask_loss_stats(mm, t, pos, v, lbl, True)
+            return (stats[0, 0] * ws[0] + stats[0, 1] * ws[1]
+                    + (dice[0] * wd).sum())
+
+        def ref(mm):
+            bce_s, rank_s, a, b, c = self._ref(mm, t, pos, v, lbl)
+            abc = jnp.stack([a[0], b[0], c[0]])
+            return bce_s[0] * ws[0] + rank_s[0] * ws[1] + (abc * wd).sum()
+
+        np.testing.assert_allclose(fused(m), ref(m), rtol=1e-5, atol=1e-5)
+        gf = jax.grad(fused)(m)
+        gr = jax.grad(ref)(m)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_stacked_loss_path_parity(self):
+        """The losses.py integration (POLY_MASK_LOSS_IMPL=interpret) equals
+        the XLA path bit-for-bit-ish on the real target structures."""
+        import os
+
+        from polyphonicformer_tpu.configs import ModelConfig
+        from polyphonicformer_tpu.data.loader import synthetic_batch
+        from polyphonicformer_tpu.train import losses as L
+        from polyphonicformer_tpu.train.targets import build_stage_targets
+
+        cfg = ModelConfig()
+        batch = synthetic_batch(cfg, 1, hw=(64, 128))
+        gt = batch.gt
+        rng = np.random.RandomState(7)
+        s, b = 2, 1
+        q = cfg.num_proposals + cfg.num_classes - cfg.num_thing_classes
+        h, w = 32, 64
+        masks = jnp.asarray(rng.randn(s, b, q, h, w).astype(np.float32))
+        m = gt.thing_masks.shape[1]
+        p2g = jnp.asarray(rng.randint(-1, m, (s, b, q)).astype(np.int32))
+        g2p = jnp.full((s, b, m), -1, np.int32)
+        from polyphonicformer_tpu.train.assign import AssignResult
+        assign = AssignResult(pred2gt=p2g, gt2pred=g2p)
+        build = jax.vmap(jax.vmap(
+            lambda a, g: build_stage_targets(a, g, cfg.num_proposals,
+                                             cfg.num_thing_classes,
+                                             cfg.num_classes, 255),
+            in_axes=(0, 0)), in_axes=(0, None))
+        # gt arrives at the scaled res for this test
+        import dataclasses
+
+        gt_small = dataclasses.replace(
+            gt,
+            thing_masks=jnp.asarray(
+                (rng.rand(b, m, h, w) < 0.3).astype(np.float32)),
+            stuff_masks=jnp.asarray(
+                (rng.rand(b, cfg.num_classes - cfg.num_thing_classes, h, w)
+                 < 0.3).astype(np.float32)),
+            depth=jnp.asarray(rng.rand(b, h, w).astype(np.float32)),
+            valid_mask=jnp.asarray((rng.rand(b, h, w) < 0.95)))
+        targets = build(assign, gt_small)
+
+        def _loss_dict(mm):
+            d = {}
+            L._mask_dice_rank_losses_stacked(cfg, mm, targets, gt_small, q,
+                                             ["p0", "p1"], d)
+            return d
+
+        def run(impl):
+            os.environ["POLY_MASK_LOSS_IMPL"] = impl
+            try:
+                (_, d), grads = jax.value_and_grad(
+                    lambda mm: (sum(_loss_dict(mm).values()), _loss_dict(mm)),
+                    has_aux=True)(masks)
+                return {k: float(v) for k, v in d.items()}, grads
+            finally:
+                os.environ["POLY_MASK_LOSS_IMPL"] = "xla"
+
+        want, gw = run("xla")
+        got, gg = run("interpret")
+        assert want.keys() == got.keys()
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], rtol=2e-5,
+                                       atol=1e-5, err_msg=k)
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   rtol=2e-4, atol=1e-5)
