@@ -272,8 +272,13 @@ def _eval_worker_main(wid: int, shm_name: str, slots: int,
             views = ring.views(slot)
             views["image"][...] = inp["image"]
             if gt_dir is not None:
+                # depth came off disk as uint16/256 (clamped at 80 m, an
+                # exact uint16 value) — re-encode to the same grid: the
+                # roundtrip is lossless and the dump compresses ~5x faster
+                # than the float32 form
+                d16 = np.round(frame["depth"] * 256.0).astype(np.uint16)
                 save_frame(gt_dir, "gt", info["seq_id"], info["img_id"],
-                           frame["pan"], frame["depth"])
+                           frame["pan"], d16)
             ready_q.put((order, slot))
     finally:
         ring.close()

@@ -24,11 +24,24 @@ DEPTH_THRS = (0.0, 0.5, 0.25, 0.1)
 
 def save_frame(save_dir: str, kind: str, seq_id: int, img_id: int,
                panseg: np.ndarray, depth: np.ndarray) -> None:
+    """Dump one frame. ``depth`` is either float32 meters (stored as-is,
+    the reference's dump dtype — datasets/cityscapes_dvps.py:336) or uint16
+    on the Cityscapes-DVPS disk grid (meters * 256, stored packed: half the
+    bytes and much cheaper zlib; readers transparently decode)."""
     d = os.path.join(save_dir, kind)
     os.makedirs(d, exist_ok=True)
+    dep = depth if depth.dtype == np.uint16 else depth.astype(np.float32)
     np.savez_compressed(os.path.join(d, f"{seq_id:06d}_{img_id:06d}.npz"),
-                        panseg=panseg.astype(np.uint32),
-                        depth=depth.astype(np.float32))
+                        panseg=panseg.astype(np.uint32), depth=dep)
+
+
+def load_depth_dump(f) -> np.ndarray:
+    """Depth from a frame dump in float32 meters, whichever way it was
+    stored (f32 passthrough / uint16 grid / 256)."""
+    dep = f["depth"]
+    if dep.dtype == np.uint16:
+        return dep.astype(np.float32) / 256.0
+    return dep
 
 
 def _eval_clip(args):
@@ -37,8 +50,8 @@ def _eval_clip(args):
     gts = [np.load(p) for p in gt_paths]
     pred_pan = np.concatenate([p["panseg"].astype(np.int64) for p in preds], axis=1)
     gt_pan = np.concatenate([g["panseg"].astype(np.int64) for g in gts], axis=1)
-    pred_dep = np.concatenate([p["depth"] for p in preds], axis=1)
-    gt_dep = np.concatenate([g["depth"] for g in gts], axis=1)
+    pred_dep = np.concatenate([load_depth_dump(p) for p in preds], axis=1)
+    gt_dep = np.concatenate([load_depth_dump(g) for g in gts], axis=1)
     pred_pan = apply_depth_threshold(pred_pan, pred_dep, gt_dep, depth_thr,
                                      num_classes)
     return vpq_eval(pred_pan, gt_pan, num_classes=num_classes)

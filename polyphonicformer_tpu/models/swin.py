@@ -123,6 +123,40 @@ def _fused_interpret() -> bool:
     return os.environ.get("POLY_FUSED_WATTN") == "interpret"
 
 
+def _use_wattn_math(num_heads: int, nw: int, partition: bool) -> bool:
+    """Gate for the attention-math Pallas kernel (ops/pallas/win_attn_math).
+
+    POLY_WATTN_MATH = xla (default) | interpret | auto | "6,12" (explicit
+    per-stage head counts).  Defaults OFF: the kernel beats the isolated
+    XLA attention chain at stages 0-2 (tools_dev/bench_wattn_math.py) but
+    the INTEGRATED Swin-L serving step measures slower at every
+    granularity swept (xla 81.7 / auto[stages 0-2] 90.7 / stage-0-only
+    95.1 ms/frame, tools_dev/bench_swinl.py) — XLA overlaps the attention
+    HBM round-trips with neighboring work that the pallas_call boundary
+    serializes, the same integrated-vs-isolated inversion as the mask-loss
+    megakernel (ROUND4.md)."""
+    import os
+
+    v = os.environ.get("POLY_WATTN_MATH", "xla")
+    if v == "xla" or partition:
+        return False
+    if v == "interpret":
+        return True
+    if v not in ("auto", "1"):
+        try:
+            heads = {int(t) for t in v.split(",") if t.strip()}
+        except ValueError:
+            return False
+        if num_heads not in heads:
+            return False
+    elif num_heads > 24 or nw < 128:
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 class WindowAttention(nn.Module):
     dim: int
     num_heads: int
@@ -167,6 +201,17 @@ class WindowAttention(nn.Module):
 
             out = window_attention_pallas(qkv, bias.astype(jnp.float32),
                                           mask, h, ws, _fused_interpret())
+        elif _use_wattn_math(h, x.shape[0], self.partition):
+            # attention math in ONE VMEM pass per window block: the
+            # (nw, h, L, L) attention tensor never hits HBM (opt-in —
+            # see _use_wattn_math for why the default stays XLA)
+            from ..ops.pallas.win_attn_math import window_attn_math
+
+            import os
+            out = window_attn_math(
+                qkv, bias.astype(jnp.float32),
+                None if mask is None else mask.astype(jnp.float32), h,
+                os.environ.get("POLY_WATTN_MATH") == "interpret")
         else:
             nw = x.shape[0]
             # head split WITHOUT materialized transposes: slice q/k/v from

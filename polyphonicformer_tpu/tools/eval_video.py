@@ -60,7 +60,7 @@ def main() -> None:
                     "tool)")
     args = ap.parse_args()
 
-    from ..evalutils.dvpq import evaluate_dvpq, save_frame
+    from ..evalutils.dvpq import evaluate_dvpq
 
     if not args.skip_infer:
         run_inference(args)
@@ -170,12 +170,25 @@ def run_inference(args) -> None:
     padded_hw = probe["image"].shape[:2]
     t_clip = max(1, args.clip_len)
 
-    def save_pred(info, sem_dev, track_dev, depth_dev, ovf_dev):
-        sem = np.asarray(sem_dev).astype(np.int64)
-        track = np.asarray(track_dev).astype(np.int64)
-        pred_pan = sem * INSTANCE_DIVISOR + track
+    # Device-side output packing: combine semantic/track into the single
+    # int32 panoptic map (the exact sem * DIVISOR + track the host would
+    # compute) and quantize depth onto the Cityscapes-DVPS disk grid
+    # (uint16, meters * 256 — the same 1/256 m grid the GT itself is stored
+    # at, so GT roundtrips losslessly and pred picks up <=2 mm quantization).
+    # Halves device->host traffic per frame (24 -> 12 MB at 1024x2048),
+    # which on PCIe is free and through this testbed's relay tunnel
+    # (~6-10 MB/s D2H) is the difference between 9 s and ~1.5 s per frame.
+    @jax.jit
+    def pack_outputs(sem, track, depth):
+        pan = sem.astype(jnp.int32) * INSTANCE_DIVISOR + track.astype(jnp.int32)
+        d16 = jnp.clip(jnp.round(depth.astype(jnp.float32) * 256.0),
+                       0, 65535).astype(jnp.uint16)
+        return pan, d16
+
+    def save_pred(info, pan_dev, d16_dev, ovf_dev):
+        pred_pan = np.asarray(pan_dev).astype(np.int64)
         save_frame(args.eval_dir, "pred", info["seq_id"], info["img_id"],
-                   pred_pan, np.asarray(depth_dev))
+                   pred_pan, np.asarray(d16_dev))
         ovf = int(ovf_dev)
         msg = f"frame {info['seq_id']:06d}_{info['img_id']:06d} done"
         if ovf:
@@ -215,16 +228,17 @@ def run_inference(args) -> None:
         if t_clip == 1:
             fo, state = step(variables, jnp.asarray(imgs[0])[None], state,
                              first_id)
-            saves.append(pool.submit(save_pred, clip_infos[0], fo.semantic,
-                                     fo.track_map, fo.depth,
+            pan, d16 = pack_outputs(fo.semantic, fo.track_map, fo.depth)
+            saves.append(pool.submit(save_pred, clip_infos[0], pan, d16,
                                      fo.track_overflow))
         else:
             co, state = step(variables, jnp.asarray(np.stack(imgs)), state,
                              first_id)
+            pan, d16 = pack_outputs(co.semantic, co.track_map, co.depth)
             for j in range(n_real):
                 saves.append(pool.submit(save_pred, clip_infos[j],
-                                         co.semantic[j], co.track_map[j],
-                                         co.depth[j], co.track_overflow[j]))
+                                         pan[j], d16[j],
+                                         co.track_overflow[j]))
         clip_infos.clear()
         clip_images.clear()
 

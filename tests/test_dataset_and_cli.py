@@ -169,7 +169,7 @@ def test_eval_video_cli(dataset_root, tmp_path, monkeypatch):
         "--clip-len", "1", "--skip-aggregate"])
     eval_video.main()
 
-    from polyphonicformer_tpu.evalutils.dvpq import list_frames
+    from polyphonicformer_tpu.evalutils.dvpq import list_frames, load_depth_dump
 
     for kind in ("pred", "gt"):
         a_paths = list_frames(eval_dir, kind)
@@ -180,9 +180,11 @@ def test_eval_video_cli(dataset_root, tmp_path, monkeypatch):
             a, b = np.load(ap), np.load(bp)
             np.testing.assert_array_equal(a["panseg"], b["panseg"], err_msg=ap)
             # scan vs per-frame dispatch compile to different XLA fusions;
-            # depth agrees to float-ulp level, not bit-exactly
-            np.testing.assert_allclose(a["depth"], b["depth"], atol=1e-4,
-                                       rtol=1e-5, err_msg=ap)
+            # depth agrees to float-ulp level, not bit-exactly — which on
+            # the uint16 dump grid (1/256 m) can flip a boundary pixel by
+            # one count
+            np.testing.assert_allclose(load_depth_dump(a), load_depth_dump(b),
+                                       atol=1.01 / 256, err_msg=ap)
 
 
 def test_apply_overrides_scalars_and_tuples():

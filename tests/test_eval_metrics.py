@@ -217,3 +217,44 @@ def test_metrics_from_stats_matches_evaluate_image():
                              np.stack([s[1] for s in stats]))
     for k, v in want.items():
         np.testing.assert_allclose(got[k], v, rtol=1e-12, err_msg=k)
+
+
+def test_packed_depth_dump_roundtrip(tmp_path):
+    """Frame dumps may store depth packed as uint16 on the Cityscapes-DVPS
+    disk grid (meters * 256). GT depth (itself loaded from that grid,
+    clamped at 80 m) roundtrips losslessly; float32 dumps pass through
+    unchanged; DVPQ over a mixed pred(f32)/gt(u16) eval dir matches the
+    all-f32 result exactly when the values sit on the grid."""
+    from polyphonicformer_tpu.evalutils.dvpq import (evaluate_dvpq,
+                                                     list_frames,
+                                                     load_depth_dump,
+                                                     save_frame)
+
+    rng = np.random.RandomState(0)
+    # on-grid depths, exactly like load_depth's output (u16/256, <=80)
+    depth = np.minimum(
+        np.round(rng.rand(24, 32).astype(np.float32) * 90 * 256) / 256, 80.0
+    ).astype(np.float32)
+    gt_pan = random_panoptic(rng, (24, 32))
+    pred = gt_pan.copy()
+    pred[rng.rand(24, 32) < 0.2] = 2 * INSTANCE_DIVISOR
+    pdep = np.clip(depth * (1 + 0.3 * rng.randn(24, 32)), 0.01, 80.0
+                   ).astype(np.float32)
+    pdep_grid = np.round(pdep * 256) / 256  # pred values on the u16 grid
+
+    a, b = str(tmp_path / "f32"), str(tmp_path / "u16")
+    for root, enc in ((a, lambda d: d.astype(np.float32)),
+                      (b, lambda d: np.round(d * 256).astype(np.uint16))):
+        save_frame(root, "gt", 0, 0, gt_pan, enc(depth))
+        save_frame(root, "pred", 0, 0, pred, enc(pdep_grid))
+
+    fu16 = np.load(list_frames(b, "gt")[0])
+    np.testing.assert_array_equal(load_depth_dump(fu16), depth)
+    ff32 = np.load(list_frames(a, "gt")[0])
+    np.testing.assert_array_equal(load_depth_dump(ff32), depth)
+
+    ra = evaluate_dvpq(a, nproc=1, windows=(1,))
+    rb = evaluate_dvpq(b, nproc=1, windows=(1,))
+    for k in ra:
+        np.testing.assert_allclose(rb[k]["pq"], ra[k]["pq"], rtol=1e-12,
+                                   err_msg=k)

@@ -64,3 +64,46 @@ def test_fused_window_attention_matches_xla(monkeypatch):
     for a, b in zip(got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_wattn_math_kernel_matches_xla(monkeypatch):
+    """The attention-math Pallas path (ops/pallas/win_attn_math, interpret
+    mode here; compiled on TPU) matches the XLA einsum chain through the
+    full backbone — shifted blocks, pad/crop, and the per-window shift
+    mask included."""
+    from polyphonicformer_tpu.models.swin import SwinTransformer
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 18, 25, 3), jnp.float32)  # forces padding
+    model = SwinTransformer(32, (2, 2), (2, 4))
+    monkeypatch.setenv("POLY_WATTN_MATH", "xla")
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ref = model.apply(variables, x)
+    monkeypatch.setenv("POLY_WATTN_MATH", "interpret")
+    got = model.apply(variables, x)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_wattn_math_kernel_grads(monkeypatch):
+    """The custom VJP (pure-jnp recompute) matches grads of the XLA path."""
+    from polyphonicformer_tpu.models.swin import SwinTransformer
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 14, 14, 3), jnp.float32)
+    model = SwinTransformer(16, (2,), (2,))
+
+    def loss(v, a):
+        return sum((o ** 2).mean() for o in model.apply(v, a))
+
+    monkeypatch.setenv("POLY_WATTN_MATH", "xla")
+    variables = model.init(jax.random.PRNGKey(0), x)
+    gref = jax.grad(loss)(variables, x)
+    monkeypatch.setenv("POLY_WATTN_MATH", "interpret")
+    ggot = jax.grad(loss)(variables, x)
+    flat_r, _ = jax.tree_util.tree_flatten(gref)
+    flat_g, _ = jax.tree_util.tree_flatten(ggot)
+    for a, b in zip(flat_g, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)

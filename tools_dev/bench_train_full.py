@@ -11,12 +11,21 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
 def main():
+    import argparse
+
     from polyphonicformer_tpu.configs import ExperimentConfig, ModelConfig
     from polyphonicformer_tpu.data.loader import synthetic_batch
     from polyphonicformer_tpu.models import PolyphonicFormer
     from polyphonicformer_tpu.train.step import create_train_state, make_train_step
 
-    mc = ModelConfig(with_track=True, compute_dtype="bfloat16")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-remat", action="store_true",
+                    help="full backbone activations kept for backward "
+                         "(fits HBM at bs1 1024x2048 R50)")
+    args = ap.parse_args()
+
+    mc = ModelConfig(with_track=True, compute_dtype="bfloat16",
+                     remat_backbone=not args.no_remat)
     cfg = ExperimentConfig(model=mc)
     model = PolyphonicFormer(mc)
     h, w = 1024, 2048
