@@ -181,10 +181,31 @@ def make_eval_hook(cfg, variables_fn, max_images: Optional[int] = 50,
     try:
         ds = CityscapesDVPSDataset(cfg.data.data_root, split=split,
                                    ref_sample_mode="img", with_depth=True)
+        err = None
     except Exception as e:  # val split not on disk
-        print(f"eval hook disabled ({e})")
+        ds, err = None, e
+    frames = [] if ds is None else (
+        ds.images if not max_images else ds.images[:max_images])
+    if sharded:
+        # Every process must agree on whether the hook runs: a host that
+        # failed to load the split while others succeeded would leave the
+        # healthy ranks blocked forever in process_allgather at the first
+        # eval step.  Gather an availability flag and decide consistently.
+        import jax
+        from jax.experimental import multihost_utils
+        if jax.process_count() > 1:
+            import numpy as np
+            ok = np.asarray(
+                multihost_utils.process_allgather(
+                    np.asarray([1 if frames else 0], np.int32))).reshape(-1)
+            if ok.min() != ok.max():
+                raise RuntimeError(
+                    f"val split visible on only {int(ok.sum())}/{ok.size} "
+                    f"hosts (this rank: {'ok' if frames else err}); mount "
+                    "the dataset on every host or drop --eval-interval")
+    if err is not None:
+        print(f"eval hook disabled ({err})")
         return None
-    frames = ds.images if not max_images else ds.images[:max_images]
     if not frames:
         print("eval hook disabled (empty val split)")
         return None

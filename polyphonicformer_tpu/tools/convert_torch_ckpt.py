@@ -377,18 +377,36 @@ def self_test(backbone: str = "resnet50") -> None:
           f"{len(mapping)} parameters mapped bijectively")
 
 
-def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+def load_torch_state_dict(path: str,
+                          allow_unsafe: bool = False) -> Dict[str, np.ndarray]:
     """Read a real torch.save checkpoint file -> numpy state dict.
 
     The reference's published checkpoints wrap the weights as
     {'state_dict': ..., 'meta': {...}} (mmcv CheckpointHook).  Newer torch
-    defaults to weights_only=True, which rejects the meta payload — fall
-    back to a full unpickle for these trusted, user-supplied files."""
+    defaults to weights_only=True, which rejects non-tensor meta payloads.
+    First try the safe path with the benign stdlib types mmcv's meta dict
+    uses allowlisted; a full unpickle (arbitrary code execution on a
+    tampered file — the published .pth files are third-party downloads) is
+    only attempted when the caller explicitly passes --unsafe-load."""
     import torch
 
     try:
+        # mmcv CheckpointHook meta holds stdlib scalars/containers plus
+        # occasionally OrderedDict/datetime — all safe to allowlist.
+        try:
+            import collections
+            import datetime
+            torch.serialization.add_safe_globals(
+                [collections.OrderedDict, datetime.datetime])
+        except Exception:
+            pass  # older torch without add_safe_globals
         raw = torch.load(path, map_location="cpu", weights_only=True)
     except Exception:
+        if not allow_unsafe:
+            raise RuntimeError(
+                f"{path}: weights_only=True load failed and full unpickle "
+                "is disabled (it runs arbitrary code from the file). "
+                "Re-run with --unsafe-load if you trust this checkpoint.")
         raw = torch.load(path, map_location="cpu", weights_only=False)
     sd = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
     return {k: np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
@@ -403,6 +421,9 @@ def main() -> None:
     ap.add_argument("--backbone", default="resnet50",
                     help="resnet50 | swin_tiny | swin_large")
     ap.add_argument("--self-test", action="store_true")
+    ap.add_argument("--unsafe-load", action="store_true",
+                    help="permit full-unpickle torch.load fallback "
+                         "(arbitrary code execution on a tampered file)")
     args = ap.parse_args()
     if args.self_test:
         self_test("resnet50")
@@ -410,7 +431,7 @@ def main() -> None:
         return
     from ..configs import ModelConfig
 
-    sd = load_torch_state_dict(args.ckpt)
+    sd = load_torch_state_dict(args.ckpt, allow_unsafe=args.unsafe_load)
     cfg = ModelConfig(with_track=args.video, backbone=args.backbone)
     variables = convert_state_dict(sd, cfg)
     with open(args.out, "wb") as f:

@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--workers", type=int, default=4,
                     help="PNG-decode worker processes (shared-memory ring; "
                     "reference analog: mmdet dataloader workers)")
+    ap.add_argument("--f32-depth", dest="f32_depth", action="store_true",
+                    help="dump predicted depth as raw float32 meters (the "
+                         "reference's dump dtype) instead of the uint16 "
+                         "1/256 m grid — for strict-parity runs")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute + Pallas fusion fast path (2.8x; maps "
                     "differ from f32 only on argmax-boundary pixels)")
@@ -178,9 +182,15 @@ def run_inference(args) -> None:
     # Halves device->host traffic per frame (24 -> 12 MB at 1024x2048),
     # which on PCIe is free and through this testbed's relay tunnel
     # (~6-10 MB/s D2H) is the difference between 9 s and ~1.5 s per frame.
+    # --f32-depth opts out (strict reference-format parity runs): dumps the
+    # raw float32 meters like the reference's pred dumps, at 2x D2H bytes.
+    f32_depth = bool(getattr(args, "f32_depth", False))
+
     @jax.jit
     def pack_outputs(sem, track, depth):
         pan = sem.astype(jnp.int32) * INSTANCE_DIVISOR + track.astype(jnp.int32)
+        if f32_depth:
+            return pan, depth.astype(jnp.float32)
         d16 = jnp.clip(jnp.round(depth.astype(jnp.float32) * 256.0),
                        0, 65535).astype(jnp.uint16)
         return pan, d16

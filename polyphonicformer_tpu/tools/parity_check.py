@@ -35,12 +35,13 @@ from typing import Dict, Optional
 
 
 def convert_checkpoint(pth_path: str, out_pkl: str, video: bool,
-                       backbone: str = "resnet50") -> str:
+                       backbone: str = "resnet50",
+                       allow_unsafe: bool = False) -> str:
     """Stage 1: real .pth file -> converted flax variables .pkl."""
     from ..configs import ModelConfig
     from .convert_torch_ckpt import convert_state_dict, load_torch_state_dict
 
-    sd = load_torch_state_dict(pth_path)
+    sd = load_torch_state_dict(pth_path, allow_unsafe=allow_unsafe)
     cfg = ModelConfig(with_track=video, backbone=backbone)
     variables = convert_state_dict(sd, cfg)
     os.makedirs(os.path.dirname(out_pkl) or ".", exist_ok=True)
@@ -90,7 +91,7 @@ def run_video_eval(ckpt_pkl: str, data_root: str, split: str,
         data_root=data_root, split=split, checkpoint=ckpt_pkl, preset=preset,
         eval_dir=eval_dir, nproc=nproc, max_frames=max_frames, bf16=bf16,
         shard_id=0, num_shards=1, overrides=None, clip_len=clip_len,
-        workers=workers)
+        workers=workers, f32_depth=True)  # strict reference-format dumps
     run_inference(ns)
     results = evaluate_dvpq(eval_dir, nproc=nproc)
     flat: Dict[str, float] = {}
@@ -140,6 +141,9 @@ def main(argv=None) -> int:
     ap.add_argument("--preset-video", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--unsafe-load", action="store_true",
+                    help="permit full-unpickle torch.load fallback "
+                         "(arbitrary code execution on a tampered file)")
     ap.add_argument("--workdir", default="work_dirs/parity_check")
     ap.add_argument("--clip-len", type=int, default=6)
     ap.add_argument("--workers", type=int, default=4)
@@ -163,7 +167,8 @@ def main(argv=None) -> int:
     if args.image_pth:
         image_pkl = os.path.join(args.workdir, "image_vars.pkl")
         convert_checkpoint(args.image_pth, image_pkl, video=False,
-                           backbone=args.backbone)
+                           backbone=args.backbone,
+                           allow_unsafe=args.unsafe_load)
         if args.data_root:
             measured.update(run_image_eval(
                 image_pkl, args.data_root, args.split, args.max_frames,
@@ -171,7 +176,8 @@ def main(argv=None) -> int:
     if args.video_pth:
         video_pkl = os.path.join(args.workdir, "video_vars.pkl")
         convert_checkpoint(args.video_pth, video_pkl, video=True,
-                           backbone=args.backbone)
+                           backbone=args.backbone,
+                           allow_unsafe=args.unsafe_load)
         if args.data_root:
             measured.update(run_video_eval(
                 video_pkl, args.data_root, args.split, args.max_frames,

@@ -52,7 +52,7 @@ def _skip_groups() -> frozenset:
     return frozenset(x for x in v.split(",") if x)
 
 
-def _use_fused_mask_loss(skip: frozenset, shape) -> bool:
+def _use_fused_mask_loss(skip: frozenset, shape, ignore_label: int = 255) -> bool:
     """Gate for the single-pass Pallas loss-reduction kernel
     (POLY_MASK_LOSS_IMPL=mega on TPU; =interpret for tests).  Default OFF:
     isolated, the fused pass beats the XLA reductions 81 vs 126 ms at
@@ -69,6 +69,8 @@ def _use_fused_mask_loss(skip: frozenset, shape) -> bool:
 
     impl = os.environ.get("POLY_MASK_LOSS_IMPL", "xla")
     if impl == "xla" or (skip & {"mask", "dice", "rank"}):
+        return False
+    if ignore_label != 255:  # kernel hardcodes _IGNORE=255 for the rank mask
         return False
     s, b, q, h, w = shape
     if not fits_vmem(q, h, w) or h % 8 != 0:
@@ -140,7 +142,7 @@ def _mask_dice_rank_losses_stacked(cfg: ModelConfig, mask_logits: jax.Array,
 
     m32 = mask_logits.astype(jnp.float32)
 
-    if _use_fused_mask_loss(skip, m32.shape):
+    if _use_fused_mask_loss(skip, m32.shape, cfg.ignore_label):
         _fused_mask_dice_rank(cfg, m32, tgt, pos, valid,
                               targets.rank_target, num_rows, prefixes,
                               losses)
@@ -336,7 +338,8 @@ def compute_losses(cfg: ModelConfig, out: ModelOutput, gt: GTSample
     rpn_targets = jax.vmap(
         lambda a, g: build_stage_targets(a, g, np_, nt, nc, cfg.ignore_label,
                                          with_direct_row=False,
-                                         stuff_in_rank=False)
+                                         stuff_in_rank=False,
+                                         stuff_depth_bool=True)
     )(rpn_assign, gt)
 
     _mask_dice_rank_losses(cfg, scaled_rpn_masks, rpn_targets, gt, np_,

@@ -67,13 +67,19 @@ def build_stage_targets(assign: AssignResult, gt: GTSample,
                         num_proposals: int, num_things: int,
                         num_classes: int, ignore_label: int = 255,
                         with_direct_row: bool = True,
-                        stuff_in_rank: bool = True) -> StageTargets:
+                        stuff_in_rank: bool = True,
+                        stuff_depth_bool: bool = False) -> StageTargets:
     """Targets for one kernel-update stage (Q = num_proposals + num_stuff).
 
     with_direct_row: rcnn stages additionally make the LAST row regress the
     full-image depth (kernel_update_head.py:524-527); rpn does not.
     stuff_in_rank: rcnn rank targets cover stuff rows (indices >= 100); the
     rpn rank loss only has 100 mask channels so its targets use things only.
+    stuff_depth_bool: the rpn head BINARIZES the stuff-row depth weights —
+    kernel_head.py:594 rebinds ``gt_sem_seg = gt_sem_seg.bool()`` (for the
+    seg target) before line 633 reuses it as the depth weight, while the
+    stage head (kernel_update_head.py:522) keeps the soft bilinear mask.
+    Reproduced for parity (tests/test_train_loss_oracle.py).
     """
     num_stuff = num_classes - num_things
     q = num_proposals + num_stuff
@@ -123,7 +129,11 @@ def build_stage_targets(assign: AssignResult, gt: GTSample,
 
     # depth -----------------------------------------------------------------
     depth_valid = (gt.depth > 0).astype(jnp.float32)
-    depth_weights = mask_targets
+    if stuff_depth_bool:
+        depth_weights = jnp.concatenate(
+            [thing_part, (stuff_part > 0).astype(jnp.float32)], axis=0)
+    else:
+        depth_weights = mask_targets
     depth_has_target = pos_row.astype(jnp.float32)
     if with_direct_row:
         depth_weights = depth_weights.at[-1].set(1.0)

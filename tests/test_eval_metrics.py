@@ -258,3 +258,57 @@ def test_packed_depth_dump_roundtrip(tmp_path):
     for k in ra:
         np.testing.assert_allclose(rb[k]["pq"], ra[k]["pq"], rtol=1e-12,
                                    err_msg=k)
+
+
+def test_dvpq_uint16_quantization_invariance(tmp_path):
+    """The eval CLI dumps predicted depth quantized to the uint16 1/256 m
+    grid (tools/eval_video.py::pack_outputs); the reference dumps raw f32
+    (datasets/cityscapes_dvps.py:336-347).  Run the FULL 16-cell DVPQ
+    aggregation on the same synthetic frames saved both ways and assert
+    every cell is identical.  The <=2 mm quantization can only flip an
+    apply_depth_threshold decision for pixels whose relative error sits
+    within ~1/(512*gt) of a lambda threshold; the generator keeps every
+    pixel's relative error >=0.04 away from all lambdas (quantization can
+    move it by at most 1/(512*1m) ~ 0.002), so equality is guaranteed by
+    construction and any divergence is a real dump-format bug."""
+    from polyphonicformer_tpu.evalutils.dvpq import evaluate_dvpq, save_frame
+
+    rng = np.random.RandomState(11)
+    frames = [(0, i) for i in range(4)] + [(3, i) for i in range(3)]
+    a, b = str(tmp_path / "f32"), str(tmp_path / "u16")
+    for seq_id, img_id in frames:
+        base = random_panoptic(rng, (10, 12))
+        gt = np.kron(base, np.ones((5, 5), np.int64))
+        pb = base.copy()
+        flip = rng.rand(10, 12) < 0.25
+        pb[flip] = random_panoptic(rng, (10, 12), void_frac=0.0)[flip]
+        pb[pb == 255 * INSTANCE_DIVISOR] = 4 * INSTANCE_DIVISOR
+        pred = np.kron(pb, np.ones((5, 5), np.int64))
+
+        # GT on the u16 grid (how real GT is stored); pred raw float32
+        gt_depth = np.round((rng.rand(50, 60) * 60 + 1) * 256).astype(
+            np.float32) / 256
+        gt_depth[rng.rand(50, 60) < 0.15] = 0.0
+        # relative errors drawn from levels bounded away from every lambda
+        # in {0.1, 0.25, 0.5} by >= 0.04 >> the quantization shift
+        levels = np.array([0.0, 0.05, 0.2, 0.4, 0.7], np.float32)
+        rel = levels[rng.randint(0, len(levels), (50, 60))]
+        sign = np.where(rng.rand(50, 60) < 0.5, -1.0, 1.0).astype(np.float32)
+        pred_depth = np.clip(gt_depth * (1 + sign * rel), 0.01, None)
+
+        # exact pack_outputs quantization: round(d * 256) -> uint16
+        pred_u16 = np.clip(np.round(pred_depth * 256.0), 0,
+                           65535).astype(np.uint16)
+        save_frame(a, "gt", seq_id, img_id, gt, gt_depth)
+        save_frame(a, "pred", seq_id, img_id, pred, pred_depth)
+        save_frame(b, "gt", seq_id, img_id, gt, gt_depth)
+        save_frame(b, "pred", seq_id, img_id, pred, pred_u16)
+
+    ra = evaluate_dvpq(a, nproc=2)
+    rb = evaluate_dvpq(b, nproc=2)
+    assert set(ra) == set(rb) and len([k for k in ra if k != "average"]) == 16
+    for cell in ra:
+        for name in ra[cell]:
+            np.testing.assert_allclose(
+                rb[cell][name], ra[cell][name], rtol=1e-12,
+                err_msg=f"{cell}/{name}")
