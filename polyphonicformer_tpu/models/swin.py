@@ -123,6 +123,35 @@ def _fused_interpret() -> bool:
     return os.environ.get("POLY_FUSED_WATTN") == "interpret"
 
 
+def _use_wattn_pair(nw: int, l: int) -> bool:
+    """Gate for lane-packed paired-window attention (POLY_WATTN_PAIR).
+
+    Packs TWO windows into one attention sequence (L=49 -> 98) with a
+    block-diagonal bias/mask, halving the count of MXU-hostile 49x49
+    batched matmuls and raising minor-dim lane utilization of the score
+    tensor from 49/128 to 98/128.  Numerically identical to unpaired
+    windows: cross-window logits sit at -100 (the same additive-mask
+    convention the reference's shifted windows use,
+    /root/reference/mmdet/models/backbones/swin.py W-MSA mask), so softmax
+    zeroes them to ~1e-43.
+
+    POLY_WATTN_PAIR = 1 (force on) | 0 (force off) | unset: on for TPU.
+    """
+    import os
+
+    if 2 * l > 128:
+        return False
+    v = os.environ.get("POLY_WATTN_PAIR")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _use_wattn_math(num_heads: int, nw: int, partition: bool) -> bool:
     """Gate for the attention-math Pallas kernel (ops/pallas/win_attn_math).
 
@@ -175,6 +204,55 @@ class WindowAttention(nn.Module):
         return rpb_table[idx.reshape(-1)].reshape(
             l, l, self.num_heads).transpose(2, 0, 1)
 
+    def _paired_attention(self, qkv, bias, mask, c, h, hd, l, dtype):
+        """Lane-packed attention over window PAIRS (see _use_wattn_pair).
+
+        Two consecutive windows form one L=2l sequence; off-diagonal
+        (cross-window) logits carry the -100 additive mask so softmax
+        removes them, making the result numerically identical to the
+        unpaired path.  Odd window counts pad one zero window (sliced off
+        after).  Pairing across unrelated windows is always sound — the
+        block mask, not locality, enforces the window structure.
+        """
+        nw = qkv.shape[0]
+        pad = nw % 2
+        if pad:
+            qkv = jnp.concatenate(
+                [qkv, jnp.zeros((1, l, 3 * c), qkv.dtype)], axis=0)
+        npair = (nw + pad) // 2
+        l2 = 2 * l
+        neg = jnp.full((l, l), -100.0, jnp.float32)
+
+        def block_diag(a, b):
+            # (..., l, l) x2 -> (..., 2l, 2l) with -100 off-diagonal
+            nb = jnp.broadcast_to(neg, a.shape)
+            top = jnp.concatenate([a, nb], axis=-1)
+            bot = jnp.concatenate([nb, b], axis=-1)
+            return jnp.concatenate([top, bot], axis=-2)
+
+        bias_p = block_diag(bias.astype(jnp.float32),
+                            bias.astype(jnp.float32))  # (h, 2l, 2l)
+        qkv_p = qkv.reshape(npair, l2, 3 * c)
+        q = qkv_p[..., :c].reshape(npair, l2, h, hd)
+        k = qkv_p[..., c:2 * c].reshape(npair, l2, h, hd)
+        v = qkv_p[..., 2 * c:].reshape(npair, l2, h, hd)
+        attn = jnp.einsum("wqhd,wkhd->whqk", q, k).astype(jnp.float32) \
+            / np.sqrt(hd)
+        attn = attn + bias_p[None]
+        if mask is not None:
+            # window w carries mask[w % ntypes] (the unpaired path's
+            # reshape(nw//ntypes, ntypes, ...) indexing); tile then pair
+            ntypes = mask.shape[0]
+            reps = -(-(nw + pad) // ntypes)
+            mfull = jnp.tile(mask.astype(jnp.float32),
+                             (reps, 1, 1))[: nw + pad]
+            mask_p = block_diag(mfull[0::2], mfull[1::2])  # (npair, 2l, 2l)
+            attn = attn + mask_p[:, None]
+        attn = jax.nn.softmax(attn, axis=-1).astype(dtype)
+        out = jnp.einsum("whqk,wkhd->wqhd", attn, v).reshape(
+            nw + pad, l, c)
+        return out[:nw] if pad else out
+
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None,
                  fused: bool = False) -> jax.Array:
@@ -212,6 +290,9 @@ class WindowAttention(nn.Module):
                 qkv, bias.astype(jnp.float32),
                 None if mask is None else mask.astype(jnp.float32), h,
                 os.environ.get("POLY_WATTN_MATH") == "interpret")
+        elif _use_wattn_pair(x.shape[0], l):
+            out = self._paired_attention(qkv, bias, mask, c, h, hd, l,
+                                         x.dtype)
         else:
             nw = x.shape[0]
             # head split WITHOUT materialized transposes: slice q/k/v from

@@ -46,11 +46,10 @@ def create_train_state(model: PolyphonicFormer, cfg: ExperimentConfig,
     return state, tx
 
 
-def make_train_step(model: PolyphonicFormer, cfg: ModelConfig,
-                    tx: optax.GradientTransformation,
-                    video: bool = False, donate: bool = True,
-                    nan_guard: bool = True):
-    """Returns a jitted step(state, batch) -> (state, metrics).
+def build_train_step_fn(model: PolyphonicFormer, cfg: ModelConfig,
+                        tx: optax.GradientTransformation,
+                        video: bool = False, nan_guard: bool = True):
+    """The raw (un-jitted) step(state, batch) -> (state, metrics).
 
     nan_guard: skip the parameter update when the loss or grad norm is
     non-finite and surface ``skipped_nonfinite`` in the metrics — the
@@ -104,6 +103,15 @@ def make_train_step(model: PolyphonicFormer, cfg: ModelConfig,
                                   opt_state=opt_state)
         return new_state, metrics
 
+    return step
+
+
+def make_train_step(model: PolyphonicFormer, cfg: ModelConfig,
+                    tx: optax.GradientTransformation,
+                    video: bool = False, donate: bool = True,
+                    nan_guard: bool = True):
+    """Jitted step(state, batch) -> (state, metrics); see build_train_step_fn."""
+    step = build_train_step_fn(model, cfg, tx, video=video, nan_guard=nan_guard)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
@@ -129,3 +137,64 @@ def make_sharded_train_step(model: PolyphonicFormer, cfg: ModelConfig,
         return step(state, batch)
 
     return sharded_step
+
+
+def make_tp_train_setup(model: PolyphonicFormer, cfg: ExperimentConfig,
+                        mesh: Mesh, sample_image_shape,
+                        video: bool = False, steps_per_epoch: int = 1000,
+                        rng=None):
+    """Tensor-parallel TRAINING over a (data, model) mesh.
+
+    Backbone params carry flax logical-axis metadata (models/swin.py,
+    ``cfg.model.shard_backbone=True``) which maps onto the 'model' mesh axis
+    (Megatron layout: qkv/fc1 column-, proj/fc2 row-sharded); everything else
+    replicates; the batch shards over 'data'.  AdamW moments mirror the param
+    shardings, and the output state shardings are pinned to the input state's
+    so a training loop preserves the layout step over step.  The reference's
+    only distributed-training mode is data-parallel DDP
+    (/root/reference/mmdet/apis/train.py:114-121); TP training is what makes
+    the Swin-L backbone fine-tunable in the same sharded layout it serves in.
+
+    Returns (state, jitted_step, tx); place batches with
+    ``parallel.mesh.shard_batch_pytree`` before calling the step.
+    """
+    import flax.linen as nn
+
+    from ..parallel.mesh import logical_param_shardings
+
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+
+    def init_fn():
+        return model.init(rng, jnp.zeros(sample_image_shape, jnp.float32),
+                          method=PolyphonicFormer.init_all)
+
+    abstract = jax.eval_shape(init_fn)
+    var_sh = logical_param_shardings(mesh, abstract)
+    variables = nn.meta.unbox(jax.jit(init_fn, out_shardings=var_sh)())
+    params = variables["params"]
+    consts = {k: v for k, v in variables.items() if k != "params"}
+    tx = make_optimizer(cfg.schedule, params, steps_per_epoch,
+                        cfg.model.frozen_stages)
+    from jax.sharding import NamedSharding
+
+    repl = NamedSharding(mesh, P())
+    # EAGER init: zeros_like on a committed sharded param follows its
+    # sharding (computation-follows-data), so AdamW mu/nu mirror the param
+    # layout; leaves that end up off-mesh (scalar counts) are replicated.
+    # (Under jit the zeros are data-independent and GSPMD has nothing to
+    # propagate from — they land on one device.)
+    opt_state = tx.init(params)
+
+    def _place(x):
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+            return x
+        return jax.device_put(x, repl)
+
+    opt_state = jax.tree_util.tree_map(_place, opt_state)
+    state = TrainState(step=jax.device_put(jnp.zeros((), jnp.int32), repl),
+                       params=params, consts=consts, opt_state=opt_state)
+    raw = build_train_step_fn(model, cfg.model, tx, video=video)
+    state_sh = jax.tree_util.tree_map(lambda x: x.sharding, state)
+    step = jax.jit(raw, out_shardings=(state_sh, None), donate_argnums=(0,))
+    return state, step, tx

@@ -107,3 +107,64 @@ def test_wattn_math_kernel_grads(monkeypatch):
     for a, b in zip(flat_g, flat_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_wattn_pair_matches_unpaired(monkeypatch):
+    """Lane-packed paired-window attention (POLY_WATTN_PAIR=1) matches the
+    unpaired XLA path through the full backbone: shifted blocks, per-window
+    shift masks, pad/crop, and an ODD window count (dummy-window padding)
+    all covered."""
+    from polyphonicformer_tpu.models.swin import SwinTransformer
+
+    rng = np.random.RandomState(3)
+    # 18x25 -> padded 21x28 -> 3x4=12 windows stage0 (even), then 2x2=4;
+    # the 11x18 case pads to 14x21 -> 2x3=6, halved grid 7x14 -> 1x2
+    for hw in ((18, 25), (11, 18)):
+        x = jnp.asarray(rng.randn(1, hw[0], hw[1], 3), jnp.float32)
+        model = SwinTransformer(32, (2, 2), (2, 4))
+        monkeypatch.setenv("POLY_WATTN_PAIR", "0")
+        variables = model.init(jax.random.PRNGKey(0), x)
+        ref = model.apply(variables, x)
+        monkeypatch.setenv("POLY_WATTN_PAIR", "1")
+        got = model.apply(variables, x)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+
+def test_wattn_pair_odd_window_count(monkeypatch):
+    """Odd nw exercises the zero-window pad + slice directly in one block."""
+    from polyphonicformer_tpu.models.swin import SwinBlock
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 7, 21, 16), jnp.float32)  # 1x3 = 3 windows
+    block = SwinBlock(16, 4, shift=3)
+    monkeypatch.setenv("POLY_WATTN_PAIR", "0")
+    variables = block.init(jax.random.PRNGKey(0), x)
+    ref = block.apply(variables, x)
+    monkeypatch.setenv("POLY_WATTN_PAIR", "1")
+    got = block.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_wattn_pair_grads(monkeypatch):
+    from polyphonicformer_tpu.models.swin import SwinTransformer
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 14, 21, 3), jnp.float32)
+    model = SwinTransformer(16, (2,), (2,))
+
+    def loss(v, a):
+        return sum((o ** 2).mean() for o in model.apply(v, a))
+
+    monkeypatch.setenv("POLY_WATTN_PAIR", "0")
+    variables = model.init(jax.random.PRNGKey(0), x)
+    gref = jax.grad(loss)(variables, x)
+    monkeypatch.setenv("POLY_WATTN_PAIR", "1")
+    ggot = jax.grad(loss)(variables, x)
+    flat_r, _ = jax.tree_util.tree_flatten(gref)
+    flat_g, _ = jax.tree_util.tree_flatten(ggot)
+    for a, b in zip(flat_g, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)

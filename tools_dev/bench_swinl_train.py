@@ -7,7 +7,11 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools_dev/bench_swinl_train
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

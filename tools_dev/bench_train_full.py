@@ -22,6 +22,12 @@ def main():
     ap.add_argument("--no-remat", action="store_true",
                     help="full backbone activations kept for backward "
                          "(fits HBM at bs1 1024x2048 R50)")
+    ap.add_argument("--pipelined", type=int, default=20,
+                    help="also measure K donated steps back-to-back with "
+                         "ONE host sync at the end (0 = skip)")
+    ap.add_argument("--bs", type=int, default=1,
+                    help="clips per step (reference video bs is 2/GPU, "
+                         "configs/polyphonic_video/poly_r50_cityscapes_1x.py:55)")
     args = ap.parse_args()
 
     mc = ModelConfig(with_track=True, compute_dtype="bfloat16",
@@ -29,8 +35,9 @@ def main():
     cfg = ExperimentConfig(model=mc)
     model = PolyphonicFormer(mc)
     h, w = 1024, 2048
-    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), (1, h, w, 3))
-    batch = synthetic_batch(mc, 1, hw=(h, w), two_frame=True)
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   (args.bs, h, w, 3))
+    batch = synthetic_batch(mc, args.bs, hw=(h, w), two_frame=True)
     batch = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a) if a is not None else None, batch)
     step = make_train_step(model, mc, tx, video=True, donate=False)
@@ -45,7 +52,26 @@ def main():
         out = run(state, batch)
         _ = float(out)
         times.append(time.perf_counter() - t0)
-    print("full step", sorted(times)[len(times) // 2] * 1000, "ms")
+    med = sorted(times)[len(times) // 2] * 1000
+    print(f"full step bs={args.bs} (host-sync every step): {med:.1f} ms "
+          f"({med / args.bs:.1f} ms/sample)")
+
+    if args.pipelined > 0:
+        # steady-state: thread the state through K donated steps, fetch
+        # metrics once at the end — the device never waits on the host
+        # float() round-trip (the production loop syncs every
+        # log_interval=50 steps, tools/train.py)
+        pstep = make_train_step(model, mc, tx, video=True, donate=True)
+        state, m = pstep(state, batch)
+        _ = float(m["total_loss"])  # compile + settle
+        k = args.pipelined
+        t0 = time.perf_counter()
+        for _i in range(k):
+            state, m = pstep(state, batch)
+        _ = float(m["total_loss"])
+        dt = (time.perf_counter() - t0) / k * 1000
+        print(f"full step bs={args.bs} (pipelined x{k}, donated): "
+              f"{dt:.1f} ms ({dt / args.bs:.1f} ms/sample)")
 
 
 if __name__ == "__main__":
