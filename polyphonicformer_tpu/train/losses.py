@@ -36,6 +36,19 @@ from .assign import (AssignResult, assignment_cost,
 from .targets import StageTargets, build_seg_target, build_stage_targets
 
 
+def is_metric_key(k: str) -> bool:
+    """True for loss-dict entries that are LOGGED but not OPTIMIZED.
+
+    Besides the ``*_acc`` metrics, the dense rpn depth term is metric-only:
+    the reference emits it under the key ``depth_dense``
+    (/root/reference/polyphonic/kernel_head.py:438), and mmdet's
+    ``_parse_losses`` sums only keys containing the substring 'loss'
+    (/root/reference/mmdet/models/detectors/base.py:198-200) — so the
+    reference logs it without ever backpropagating it.
+    """
+    return k.endswith("_acc") or k == "loss_rpn_depth_dense"
+
+
 def _upsample2(x: jax.Array) -> jax.Array:
     """Bilinear x2 on the trailing (h, w) axes (align_corners=False)."""
     return resize_bilinear(x, (x.shape[-2] * 2, x.shape[-1] * 2))
@@ -436,5 +449,5 @@ def compute_losses(cfg: ModelConfig, out: ModelOutput, gt: GTSample
             losses[f"{p}_depth"] = dep_vec[i]
 
     total = jnp.sum(jnp.stack([v for k, v in losses.items()
-                               if not k.endswith("_acc")]))
+                               if not is_metric_key(k)]))
     return total, losses

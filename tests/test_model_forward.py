@@ -106,9 +106,10 @@ class TestForward:
                          f"s{s}_loss_rank", f"s{s}_loss_depth",
                          f"s{s}_pos_acc"}
         assert expected == set(losses.keys())
-        # metrics (pos_acc) are excluded from the optimized total
+        # metrics (pos_acc, dense rpn depth) are excluded from the total
+        from polyphonicformer_tpu.train.losses import is_metric_key
         opt = sum(float(v) for k, v in losses.items()
-                  if not k.endswith("_acc"))
+                  if not is_metric_key(k))
         np.testing.assert_allclose(float(total), opt, rtol=1e-5)
         # gradients reach both ends of the network
         gnorm = jax.tree_util.tree_map(lambda g: float(jnp.abs(g).max()), grads)

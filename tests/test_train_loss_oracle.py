@@ -177,10 +177,12 @@ def _compare_loss_dicts(ref_losses, our_losses, video=False):
             f"{rk}: ref {want:.6f} vs ours {got:.6f} (tol {tol:.2e})\n"
             + "\n".join(f"  {r}: ref {a:.6f} ours {b:.6f}"
                         for r, a, b in rows))
-    # totals (reference total = sum of non-metric entries, weights already
-    # folded in by the heads)
-    want_total = sum(w for k, w, _ in rows if not k.endswith("_acc"))
-    got_total = sum(g for k, _, g in rows if not k.endswith("_acc"))
+    # totals, using the reference's ACTUAL optimized-sum rule: mmdet's
+    # _parse_losses sums only keys containing 'loss'
+    # (/root/reference/mmdet/models/detectors/base.py:198-200), which
+    # excludes pos_acc AND depth_dense (kernel_head.py:438)
+    want_total = sum(w for k, w, _ in rows if "loss" in k)
+    got_total = sum(g for k, _, g in rows if "loss" in k)
     np.testing.assert_allclose(got_total, want_total, rtol=2e-3)
 
 
@@ -244,7 +246,8 @@ def test_image_train_loss_dict_parity(image_case):
     our_losses = {k: float(v) for k, v in losses.items()}
     _compare_loss_dicts(image_case["ref_losses"], our_losses)
     # our total must equal the sum it optimizes
-    want = sum(v for k, v in our_losses.items() if not k.endswith("_acc"))
+    from polyphonicformer_tpu.train.losses import is_metric_key
+    want = sum(v for k, v in our_losses.items() if not is_metric_key(k))
     np.testing.assert_allclose(float(total), want, rtol=1e-5)
 
 
@@ -358,5 +361,6 @@ def test_video_train_loss_dict_parity(video_case):
     total, losses = run(variables, batch)
     our_losses = {k: float(v) for k, v in losses.items()}
     _compare_loss_dicts(video_case["ref_losses"], our_losses, video=True)
-    want = sum(v for k, v in our_losses.items() if not k.endswith("_acc"))
+    from polyphonicformer_tpu.train.losses import is_metric_key
+    want = sum(v for k, v in our_losses.items() if not is_metric_key(k))
     np.testing.assert_allclose(float(total), want, rtol=1e-5)
