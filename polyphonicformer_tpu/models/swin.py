@@ -135,21 +135,18 @@ def _use_wattn_pair(nw: int, l: int) -> bool:
     /root/reference/mmdet/models/backbones/swin.py W-MSA mask), so softmax
     zeroes them to ~1e-43.
 
-    POLY_WATTN_PAIR = 1 (force on) | 0 (force off) | unset: on for TPU.
+    POLY_WATTN_PAIR = 1 (force on) | default off.  Measured NEUTRAL-to-
+    -2% integrated on v5e (Swin-L serving 83.1 ms/frame paired vs 81.3
+    unpaired, 1024x2048 bf16, round 5): the halved matmul count is offset
+    by the doubled per-pair attention FLOPs and f32 score traffic (each
+    pair computes 4 l-x-l blocks, 2 of them masked).  Kept opt-in with
+    parity + grad tests, like the two Pallas attention experiments.
     """
     import os
 
     if 2 * l > 128:
         return False
-    v = os.environ.get("POLY_WATTN_PAIR")
-    if v == "1":
-        return True
-    if v == "0":
-        return False
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+    return os.environ.get("POLY_WATTN_PAIR") == "1"
 
 
 def _use_wattn_math(num_heads: int, nw: int, partition: bool) -> bool:
