@@ -34,9 +34,9 @@ PEAK_FLOPS = 197e12  # bf16 MXU
 PEAK_BW = 819e9      # HBM bytes/s
 
 # measured per-stage forward times at 1024x2048 bf16, ms (bench_swin_parts,
-# round-3 attribution updated by the round-3 transpose fix: backbone+FPN
-# 73.4 ms total).  Re-measure with bench_swin_parts.py to refresh.
-MEASURED_MS = {0: 22.0, 1: 7.0, 2: 37.0, 3: 3.0}
+# round-5 fresh run, unpaired attention default: stage slices 26.85 /
+# 34.43 / 66.67 / 69.15 cumulative; stage 0 includes the 4x4 patch embed).
+MEASURED_MS = {0: 26.9, 1: 7.6, 2: 32.2, 3: 2.5}
 
 
 def stage_numbers(i: int):
