@@ -40,15 +40,22 @@ TRAINID_TO_COCO = {**_THING_MAP, **_STUFF_MAP}
 
 def to_coco(pan_map: np.ndarray, divisor: int) -> np.ndarray:
     """Remap trainId*1000+inst panoptic ids to thing-first ids * divisor + inst
-    (reference datasets/cityscapes_dvps.py:89-109)."""
-    pan_new = -np.ones_like(pan_map)
-    for idx in np.unique(pan_map):
-        if idx == NO_OBJ * DIVISOR_PAN:
-            pan_new[pan_map == idx] = NO_OBJ_HB * divisor
-        else:
-            cls_id = int(idx) // DIVISOR_PAN
-            inst_id = int(idx) % DIVISOR_PAN
-            pan_new[pan_map == idx] = TRAINID_TO_COCO[cls_id] * divisor + inst_id
+    (reference datasets/cityscapes_dvps.py:89-109).
+
+    One-gather lookup-table form of the reference's per-unique-id scan loop
+    (id values are bounded by NO_OBJ*1000+inst, so the table stays tiny
+    next to the 2M-pixel map it replaces ~2 full-image scans per id with).
+    """
+    n = int(pan_map.max()) + 1
+    ids = np.arange(n, dtype=pan_map.dtype)
+    cls = ids // DIVISOR_PAN
+    inst = ids % DIVISOR_PAN
+    coco = np.array([TRAINID_TO_COCO.get(int(c), -1) for c in
+                     np.arange(int(cls.max()) + 1)], dtype=pan_map.dtype)
+    lut = np.where(coco[cls] < 0, -1, coco[cls] * divisor + inst)
+    if NO_OBJ * DIVISOR_PAN < n:
+        lut[NO_OBJ * DIVISOR_PAN] = NO_OBJ_HB * divisor
+    pan_new = lut[pan_map]
     assert (pan_new >= 0).all(), "unmapped panoptic id"
     return pan_new
 

@@ -51,8 +51,12 @@ def sample_field_specs(dc: DataConfig, mc: ModelConfig,
     h, w = dc.img_size
     ah, aw = h // mc.mask_assign_stride, w // mc.mask_assign_stride
     mt, ns = mc.max_things, mc.num_stuff_classes
+    # divisor-aligned crops ship as raw uint8 (normalized on device,
+    # train/step.py::normalize_uint8_image): 4x smaller image slots
+    img_dtype = ("uint8" if h % dc.size_divisor == 0
+                 and w % dc.size_divisor == 0 else "float32")
     per_frame = [
-        ("image", (h, w, 3), "float32"),
+        ("image", (h, w, 3), img_dtype),
         ("thing_masks", (mt, ah, aw), "float32"),
         ("thing_labels", (mt,), "int32"),
         ("thing_valid", (mt,), "bool"),

@@ -49,11 +49,14 @@ def resize_frame(frame: Dict, ratio: float, max_depth: float = 80.0) -> Dict:
 
 
 def flip_frame(frame: Dict) -> Dict:
+    # negative-stride views, not copies: every downstream consumer (crop
+    # slice, keep-filter, normalize, pad, cv2/index downsample) materializes
+    # fresh arrays anyway, so the full-res copy here was pure memcpy waste
     out = dict(frame)
-    out["img"] = frame["img"][:, ::-1].copy()
-    out["masks"] = frame["masks"][:, :, ::-1].copy()
+    out["img"] = frame["img"][:, ::-1]
+    out["masks"] = frame["masks"][:, :, ::-1]
     if frame.get("depth") is not None:
-        out["depth"] = frame["depth"][:, ::-1].copy()
+        out["depth"] = frame["depth"][:, ::-1]
     return out
 
 
@@ -75,8 +78,10 @@ def crop_frame(frame: Dict, y0: int, x0: int, ch: int, cw: int) -> Optional[Dict
 
 
 def normalize_image(img: np.ndarray, mean, std) -> np.ndarray:
-    return ((img.astype(np.float32) - np.asarray(mean, np.float32))
-            / np.asarray(std, np.float32))
+    # same (x - mean) / std math, one allocation instead of three temporaries
+    out = np.subtract(img, np.asarray(mean, np.float32), dtype=np.float32)
+    out /= np.asarray(std, np.float32)
+    return out
 
 
 def pad_to(img: np.ndarray, ph: int, pw: int, value=0) -> np.ndarray:
@@ -216,7 +221,18 @@ class TrainPipeline:
         out = []
         for f in frames:
             f = dict(f)
-            f["img"] = normalize_image(f["img"], dc.mean, dc.std)
+            if (ph, pw) == (ch, cw):
+                # no padding: ship the raw uint8 crop and let the jitted
+                # train step normalize ON DEVICE (train/step.py::
+                # normalize_uint8_image — same (x-mean)/std math, exact).
+                # 4x less shared-memory + host->device traffic and one
+                # full-res host pass saved.  Every shipped train crop is
+                # divisor-aligned; the padded case keeps the host path
+                # because mmdet pads AFTER Normalize (pad value 0 in
+                # normalized space), which uint8 cannot represent.
+                pass
+            else:
+                f["img"] = normalize_image(f["img"], dc.mean, dc.std)
             out.append(frame_to_sample(f, self.mc, (ph, pw)))
         return out
 

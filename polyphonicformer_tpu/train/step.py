@@ -46,6 +46,22 @@ def create_train_state(model: PolyphonicFormer, cfg: ExperimentConfig,
     return state, tx
 
 
+# the reference's img_norm_cfg (configs/_base_/datasets/cityscapes_dvps.py),
+# = DataConfig.mean/std — the single normalization every config uses
+_IMG_MEAN = (123.675, 116.28, 103.53)
+_IMG_STD = (58.395, 57.12, 57.375)
+
+
+def normalize_uint8_image(img: jax.Array) -> jax.Array:
+    """(x - mean) / std in f32 on device — exact same values the host path
+    (data/pipeline.py::normalize_image) produces, computed where it fuses
+    into the first conv instead of costing a full-res host pass + 4x the
+    host->device bytes."""
+    mean = jnp.asarray(_IMG_MEAN, jnp.float32)
+    std = jnp.asarray(_IMG_STD, jnp.float32)
+    return (img.astype(jnp.float32) - mean) / std
+
+
 def build_train_step_fn(model: PolyphonicFormer, cfg: ModelConfig,
                         tx: optax.GradientTransformation,
                         video: bool = False, nan_guard: bool = True):
@@ -69,6 +85,13 @@ def build_train_step_fn(model: PolyphonicFormer, cfg: ModelConfig,
             if isinstance(a, jax.Array) and a.dtype == jnp.float32 else a, tree)
 
     def loss_fn(params, consts, batch: TrainBatch):
+        if batch.image.dtype == jnp.uint8:
+            # loader shipped raw uint8 crops (data/pipeline.py): normalize
+            # on device, where it fuses into the stem for free
+            batch = batch.replace(
+                image=normalize_uint8_image(batch.image),
+                ref_image=None if batch.ref_image is None
+                else normalize_uint8_image(batch.ref_image))
         if half is not None:
             params, consts = _cast(params), _cast(consts)
             batch = batch.replace(

@@ -110,8 +110,11 @@ def test_mp_loader(dataset_root):
         for _ in range(3):  # multiple batches: slots get recycled
             batch = next(it)
             assert batch.image.shape == (1, 128, 256, 3)
-            assert batch.image.dtype == np.float32
+            # divisor-aligned crops ship uint8; the jitted step normalizes
+            # on device (train/step.py::normalize_uint8_image)
+            assert batch.image.dtype == np.uint8
             assert batch.ref_image.shape == (1, 128, 256, 3)
+            assert batch.ref_image.dtype == np.uint8
             assert batch.gt.thing_masks.shape == (1, cfg.model.max_things, 32, 64)
             assert batch.gt.thing_valid.any()
             assert batch.gt.depth.max() <= cfg.data.max_depth

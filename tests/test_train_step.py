@@ -117,3 +117,32 @@ def test_bf16_mixed_precision_training():
     assert np.isfinite(last) and last < first, (first, last)
     # master weights stay f32
     assert state.params["backbone"]["conv1"]["kernel"].dtype == jnp.float32
+
+
+def test_uint8_batch_matches_host_normalized():
+    """A uint8 image batch (the loader's divisor-aligned fast path) must
+    produce the SAME loss/grads as the host-normalized f32 path — the
+    device-side normalize (step.py::normalize_uint8_image) is the exact
+    (x - mean)/std the host computed before."""
+    from polyphonicformer_tpu.data.pipeline import normalize_image
+
+    cfg = ExperimentConfig(model=TINY)
+    model = PolyphonicFormer(cfg.model)
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   (1, H, W, 3))
+    step = make_train_step(model, cfg.model, tx, donate=False)
+
+    rng = np.random.RandomState(7)
+    u8 = rng.randint(0, 256, (1, H, W, 3), np.uint8)
+    base = synthetic_batch(cfg.model, 1, hw=(H, W))
+    batch_u8 = dataclasses.replace(base, image=jnp.asarray(u8))
+    batch_f32 = dataclasses.replace(
+        base, image=jnp.asarray(np.stack([
+            normalize_image(u8[0], DataConfig().mean, DataConfig().std)])))
+
+    _, m_u8 = step(state, jax.tree_util.tree_map(jnp.asarray, batch_u8))
+    _, m_f32 = step(state, jax.tree_util.tree_map(jnp.asarray, batch_f32))
+    np.testing.assert_allclose(float(m_u8["total_loss"]),
+                               float(m_f32["total_loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m_u8["grad_norm"]),
+                               float(m_f32["grad_norm"]), rtol=1e-5)
